@@ -1,0 +1,105 @@
+"""Evaluation CLI — one mode-dispatching entry point covering every
+reference eval script (mode table in s1s2/eval/harness.py; flag names follow
+`Evaluation/DDIM_Multi-step.py:173-194`, `Evaluation/Comparison_Original.py:363-385`,
+`Evaluation_Updated/Evaluation_Pure_Generation.py:449-472`,
+`Evaluation/Limitation_Test.py` CLI).
+
+    python -m s1s2.cli.evaluate --mode ddim --patch_dir P --ckpt m.msgpack \
+        --out_dir out --t_start 200 --ddim_steps 20
+"""
+
+import argparse
+import json
+
+from s1s2.eval.harness import MODES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("s1s2 evaluate")
+    ap.add_argument("--mode", required=True, choices=sorted(MODES.keys()))
+    ap.add_argument("--patch_dir", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help=".pth (reference) | .msgpack (s1s2) | @random (smoke)")
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--time_schedule", choices=["cosine", "linear"], default="cosine")
+    ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--pred_param", choices=["eps", "v"], default="eps")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--max_files", type=int, default=0, help="0 = ALL files")
+    ap.add_argument("--save_viz_n", type=int, default=6)
+    # ddim
+    ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--ddim_steps", type=int, default=20)
+    ap.add_argument("--eta", type=float, default=0.0)
+    # sweep
+    ap.add_argument("--t_start_grid", type=str, default="")
+    ap.add_argument("--ddim_steps_grid", type=str, default="")
+    # small-t diagnostics
+    ap.add_argument("--t_small", type=int, default=20)
+    ap.add_argument("--t_values", type=int, nargs="*", default=[5, 10, 20, 40, 80, 160])
+    ap.add_argument("--n_seeds", type=int, default=8)
+    ap.add_argument("--seed_base", type=int, default=1234)
+    # limitation
+    ap.add_argument("--limitation_sampler", choices=["ddpm", "ddim"], default="ddim")
+    ap.add_argument("--partial_reverse_k", nargs="*", type=int, default=None)
+    ap.add_argument("--band_weights", nargs="*", type=float, default=None)
+    ap.add_argument("--save_n", type=int, default=16)
+    # CFG
+    ap.add_argument("--guidance_scale", type=float, default=None)
+    ap.add_argument("--guidance_scales", nargs="*", type=float, default=None,
+                    help="grid for --mode cfg_sweep")
+    # viz
+    ap.add_argument("--select_top_cloud", type=int, default=12)
+    ap.add_argument("--zoom", type=int, default=0)
+    ap.add_argument("--zoom_k", type=int, default=0)
+    ap.add_argument("--full_metrics", action="store_true",
+                    help="add PSNR/SAM/ERGAS columns (Comparison_Original style)")
+    ap.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from s1s2.eval.harness import EvalConfig, run_mode
+
+    cfg = EvalConfig(
+        patch_dir=args.patch_dir,
+        out_dir=args.out_dir,
+        ckpt=args.ckpt,
+        mode=args.mode,
+        T=args.T,
+        schedule=args.time_schedule,
+        base_ch=args.base_ch,
+        pred_param=args.pred_param,
+        batch_size=args.batch_size,
+        max_files=args.max_files,
+        save_viz_n=args.save_viz_n,
+        t_start=args.t_start,
+        ddim_steps=args.ddim_steps,
+        eta=args.eta,
+        t_start_grid=tuple(int(x) for x in args.t_start_grid.split(",") if x),
+        ddim_steps_grid=tuple(int(x) for x in args.ddim_steps_grid.split(",") if x),
+        t_small=args.t_small,
+        t_values=tuple(args.t_values),
+        n_seeds=args.n_seeds,
+        seed_base=args.seed_base,
+        limitation_sampler=args.limitation_sampler,
+        partial_reverse_k=tuple(args.partial_reverse_k or ()),
+        band_weights=tuple(args.band_weights) if args.band_weights else None,
+        save_n=args.save_n,
+        guidance_scale=args.guidance_scale,
+        guidance_scales=tuple(args.guidance_scales or ()),
+        select_top_cloud=args.select_top_cloud,
+        zoom=args.zoom,
+        zoom_k=args.zoom_k,
+        full_metrics=args.full_metrics,
+        compute_dtype=args.compute_dtype,
+    )
+    result = run_mode(cfg)
+    print(json.dumps({str(k): v for k, v in result.items()}, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Generate synthetic patch npz fixtures (testing/demo without rasters)."""
+
+import argparse
+
+from s1s2.data.synthetic import make_synthetic_patches
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("s1s2 make_synthetic")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    files = make_synthetic_patches(args.out, n=args.n, size=args.size, seed=args.seed)
+    print(f"wrote {len(files)} patches to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

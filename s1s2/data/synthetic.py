@@ -1,0 +1,80 @@
+"""Synthetic patch fixtures.
+
+Generates npz files with the exact Patch.py output contract
+(`Patch.py:253-255`) — smooth correlated fields standing in for SAR/optical
+patches — so training/eval/tests run end-to-end without rasters
+(SURVEY.md §7 build order step 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _smooth_field(rng: np.random.Generator, H: int, W: int, octaves: int = 3):
+    """Cheap multi-octave value noise via upsampled random grids."""
+    acc = np.zeros((H, W), np.float32)
+    for o in range(octaves):
+        h = max(2, H >> (octaves - o + 1))
+        w = max(2, W >> (octaves - o + 1))
+        g = rng.standard_normal((h, w)).astype(np.float32)
+        ys = np.linspace(0, h - 1, H)
+        xs = np.linspace(0, w - 1, W)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        yf, xf = (ys - yi)[:, None], (xs - xi)[None, :]
+        yi1 = np.minimum(yi + 1, h - 1)
+        xi1 = np.minimum(xi + 1, w - 1)
+        up = (
+            g[np.ix_(yi, xi)] * (1 - yf) * (1 - xf)
+            + g[np.ix_(yi1, xi)] * yf * (1 - xf)
+            + g[np.ix_(yi, xi1)] * (1 - yf) * xf
+            + g[np.ix_(yi1, xi1)] * yf * xf
+        )
+        acc += up * (0.5**o)
+    return acc
+
+
+def make_synthetic_patches(
+    out_dir: str,
+    n: int = 8,
+    size: int = 64,
+    c_cond: int = 4,
+    c_tgt: int = 4,
+    seed: int = 0,
+    mask_holes: bool = True,
+) -> list:
+    """Write ``n`` synthetic patch npz files; target bands are deterministic
+    functions of the cond bands (so models CAN learn the mapping)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(n):
+        base = [_smooth_field(rng, size, size) for _ in range(c_cond)]
+        cond = np.stack(base).astype(np.float32)  # ~N(0,1)-ish like z-scored SAR
+        mix = rng.standard_normal((c_tgt, c_cond)).astype(np.float32) * 0.4
+        tgt = np.tensordot(mix, np.tanh(cond), axes=1)
+        tgt = np.clip(0.5 + 0.4 * tgt, 0.0, 1.0).astype(np.float32)
+        mask = np.ones((size, size), np.uint8)
+        if mask_holes and i % 2 == 0:
+            r0, c0 = rng.integers(0, size // 2, 2)
+            mask[r0 : r0 + size // 4, c0 : c0 + size // 4] = 0
+        path = os.path.join(out_dir, f"patch_{i:06d}.npz")
+        np.savez_compressed(
+            path,
+            inputs=cond,
+            target=tgt,
+            mask=mask,
+            folder="synthetic",
+            row=0,
+            col=0,
+            patch_size=size,
+            stride=size,
+            valid_ratio=float(mask.mean()),
+        )
+        files.append(path)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"total_patches": n, "synthetic": True}, f)
+    return files

@@ -1,0 +1,1023 @@
+"""Evaluation harness: every reference eval mode, batched and jitted.
+
+Mode → reference script mapping (SURVEY.md §2 items 19-31):
+
+  onestep          Onestep.py / Onestep_v_Prediction.py (t=0 identity + t_small recon)
+  ddim             DDIM_Multi-step.py --mode ddim (ε, GT-anchored) /
+                   DDIM_Multi-step_v_Prediction.py (v, pure-noise grid, η)
+  ddim_sweep       DDIM_Sweep.py --mode ddim_sweep (t_start × steps grid)
+  eps              DDIM_Multi-step.py --mode eps
+  vdiag            DDIM_Multi-step_v_Prediction.py --mode vdiag
+  seed_stats       DDIM_Multi-step.py --mode seed_stats
+  per_band         DDIM_Multi-step.py --mode per_band
+  ablate           DDIM_Multi-step.py --mode ablate
+  tsweep           Comparison_Original.py --mode tsweep
+  true_infer       Evaluation_Pure_Generation.py --mode ddim --true_infer
+  night_demo       Comparison_Original.py --mode night_demo
+  cloudy_viz       Comparison_Original.py --mode cloudy_viz
+  baseline_bicubic Evaluation_Pure_Generation.py --mode baseline_bicubic
+  baseline_linear  Evaluation_Pure_Generation.py --mode baseline_linear
+  limitation       Limitation_Test.py / Limitation_Test_v_Prediction.py
+                   (full-dataset streaming DDPM/DDIM + partial-reverse diag)
+
+CSV/TXT output schemas match the reference writers so result directories are
+directly comparable. The big architectural difference: the reference runs
+one file per forward pass; here files ride in batches through ONE compiled
+sampler per config (SURVEY.md §3.3 "major throughput loss the TPU build
+fixes"). Per-file numbers still match the reference definition because the
+global-sum metric is computed per-sample (eval/metrics.per_file_mae_mse).
+
+RNG: the reference's "same noise for file i across configs"
+(`Evaluation/DDIM_Sweep.py:404`) becomes per-file keys
+``fold_in(base, file_index)`` — config-independent by construction.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s1s2.core.parametrize import (
+    Parameterization,
+    pred_to_x0_eps,
+    q_sample,
+    v_from_x0_eps,
+)
+from s1s2.core.schedule import Schedule
+from s1s2.data.dataset import NpzPatchDataset, load_patch
+from s1s2.data.loader import eval_batches
+from s1s2.eval import metrics as M
+from s1s2.eval.baselines import baseline_bicubic, baseline_linear_fit_predict
+from s1s2.models.unet import UNetSmall
+from s1s2.sampling import (
+    ddim_anchored,
+    ddim_generate,
+    ddim_grid_sample,
+    ddpm_ancestral,
+    full_range_grid,
+    make_cfg_denoise_fn,
+    make_denoise_fn,
+    one_step_recon,
+    partial_ddim_from_gt,
+    round_unique_grid,
+)
+from s1s2.sampling.samplers import scaled_noise_init
+from s1s2.viz import render as V
+
+
+# ---------------------------------------------------------------------------
+# context
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    patch_dir: str
+    out_dir: str
+    ckpt: Optional[str] = None
+    mode: str = "ddim"
+    T: int = 1000
+    schedule: str = "cosine"
+    base_ch: int = 96
+    pred_param: str = "eps"  # 'eps' | 'v'
+    batch_size: int = 8
+    max_files: int = 0
+    save_viz_n: int = 6
+    # ddim
+    t_start: int = 200
+    ddim_steps: int = 20
+    eta: float = 0.0
+    # sweep grids
+    t_start_grid: Tuple[int, ...] = ()
+    ddim_steps_grid: Tuple[int, ...] = ()
+    # small-t diagnostics
+    t_small: int = 20
+    t_values: Tuple[int, ...] = (5, 10, 20, 40, 80, 160)
+    n_seeds: int = 8
+    seed_base: int = 1234
+    # limitation mode
+    limitation_sampler: str = "ddim"  # 'ddpm' | 'ddim'
+    partial_reverse_k: Tuple[int, ...] = ()
+    band_weights: Optional[Tuple[float, ...]] = None
+    save_n: int = 16
+    # CFG
+    guidance_scale: Optional[float] = None
+    guidance_scales: Tuple[float, ...] = ()
+    # viz / cloud
+    select_top_cloud: int = 12
+    zoom: int = 0
+    zoom_k: int = 0
+    full_metrics: bool = False  # add PSNR/SAM/ERGAS columns (Comparison_Original)
+    compute_dtype: str = "bfloat16"
+
+
+class EvalContext:
+    """Loads dataset + model once; provides compiled denoise closures."""
+
+    def __init__(self, cfg: EvalConfig):
+        self.cfg = cfg
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        self.viz_dir = os.path.join(cfg.out_dir, "previews")
+        os.makedirs(self.viz_dir, exist_ok=True)
+        self.ds = NpzPatchDataset(
+            cfg.patch_dir, max_files=cfg.max_files if cfg.max_files > 0 else None
+        )
+        self.Cc, self.Ct, self.H, self.W = self.ds.probe_channels()
+        self.schedule = (
+            Schedule.cosine(cfg.T) if cfg.schedule == "cosine" else Schedule.linear(cfg.T)
+        )
+        self.param = Parameterization(cfg.pred_param)
+        self.file_idx = {f: i for i, f in enumerate(self.ds.files)}
+        self.model = None
+        self.variables = None
+        if cfg.ckpt:
+            dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch, compute_dtype=dtype)
+            self.variables = self._load_ckpt(cfg.ckpt)
+
+    def _load_ckpt(self, path: str):
+        if path.endswith(".pth"):
+            from s1s2.models.convert import load_pth_checkpoint
+
+            return load_pth_checkpoint(path)
+        if path == "@random":  # documented test hook: random init
+            v = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.H, self.W, self.Cc + self.Ct)),
+                jnp.zeros((1,), jnp.int32),
+            )
+            return v
+        from s1s2.train.checkpoint import load_model
+
+        template = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.H, self.W, self.Cc + self.Ct)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        return {"params": load_model(template, path)}
+
+    # -- denoiser closures --
+
+    def denoise_fn(self, cond: jnp.ndarray):
+        if self.cfg.guidance_scale is not None:
+            return make_cfg_denoise_fn(
+                self.model.apply, self.variables, cond, self.cfg.guidance_scale
+            )
+        return make_denoise_fn(self.model.apply, self.variables, cond)
+
+    def per_file_keys(self, indices: Sequence[int], salt: int = 0) -> jax.Array:
+        base = jax.random.PRNGKey(self.cfg.seed_base + salt)
+        return jnp.stack([jax.random.fold_in(base, int(i)) for i in indices])
+
+    def per_file_noise(self, indices: Sequence[int], salt: int = 0) -> jnp.ndarray:
+        keys = self.per_file_keys(indices, salt)
+        shape = (self.H, self.W, self.Ct)
+        return jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
+
+
+# ---------------------------------------------------------------------------
+# small host helpers
+# ---------------------------------------------------------------------------
+
+
+def _write_csv(path: str, header: List[str], rows: List[List]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def _mstd(a: Sequence[float]) -> Tuple[float, float]:
+    arr = np.asarray(a, np.float64)
+    return float(arr.mean()), float(arr.std())  # population std, like torch std(unbiased=False)
+
+
+def _summary(path: str, lines: List[str]) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _vmapped(metric):
+    """Lift a whole-batch metric to per-sample via the B=1 trick."""
+    return jax.vmap(lambda p, g, m: metric(p[None], g[None], m[None]))
+
+
+# ---------------------------------------------------------------------------
+# mode implementations
+# ---------------------------------------------------------------------------
+
+
+def run_ddim(ctx: EvalContext) -> Dict:
+    """GT-anchored ε DDIM / pure-noise v DDIM per-file metrics
+    (`Evaluation/DDIM_Multi-step.py:218-240`,
+    `..._v_Prediction.py` ddim mode)."""
+    cfg = ctx.cfg
+    rows, maes, mses = [], [], []
+    extra = {"psnr": [], "sam": [], "ergas": []}
+    sample_batched = _make_recon_sampler(ctx)
+    psnr_v = _vmapped(M.psnr)
+    sam_v = _vmapped(M.sam)
+    ergas_v = _vmapped(M.ergas)
+
+    saved = 0
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        idxs = [ctx.file_idx[n] for n in names]  # positions for RNG
+        x0 = sample_batched(
+            jnp.asarray(cond), jnp.asarray(gt),
+            ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid)),
+        )
+        mae_b, mse_b = M.per_file_mae_mse(x0, jnp.asarray(gt), jnp.asarray(mask))
+        mae_b, mse_b = np.asarray(mae_b), np.asarray(mse_b)
+        if cfg.full_metrics:
+            p_b = np.asarray(psnr_v(x0, jnp.asarray(gt), jnp.asarray(mask)))
+            s_b = np.asarray(sam_v(x0, jnp.asarray(gt), jnp.asarray(mask)))
+            e_b = np.asarray(ergas_v(x0, jnp.asarray(gt), jnp.asarray(mask)))
+        for j in range(n_valid):
+            maes.append(float(mae_b[j]))
+            mses.append(float(mse_b[j]))
+            row = [names[j], cfg.t_start, cfg.ddim_steps,
+                   f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}"]
+            if cfg.full_metrics:
+                extra["psnr"].append(float(p_b[j]))
+                extra["sam"].append(float(s_b[j]))
+                extra["ergas"].append(float(e_b[j]))
+                row += [f"{p_b[j]:.3f}", f"{s_b[j]:.4f}", f"{e_b[j]:.2f}"]
+            rows.append(row)
+            if saved < cfg.save_viz_n:
+                V.save_rgb_triplet(
+                    np.asarray(x0[j]),
+                    os.path.join(ctx.viz_dir, f"{saved:03d}_ddim_pred_true.png"),
+                    os.path.join(ctx.viz_dir, f"{saved:03d}_ddim_pred_cir.png"),
+                )
+                saved += 1
+
+    header = ["file", "t_start", "ddim_steps", "MAE", "MSE"]
+    if cfg.full_metrics:
+        header += ["PSNR", "SAM(rad)", "ERGAS"]
+    _write_csv(os.path.join(cfg.out_dir, "ddim_metrics.csv"), header, rows)
+
+    mae_mu, mae_sd = _mstd(maes)
+    mse_mu, mse_sd = _mstd(mses)
+    lines = [
+        f"files: {len(maes)}  t_start: {cfg.t_start}  steps: {cfg.ddim_steps}",
+        f"MAE mean/std: {mae_mu:.6f} / {mae_sd:.6f}",
+        f"MSE mean/std: {mse_mu:.6f} / {mse_sd:.6f}",
+    ]
+    if ctx.param is Parameterization.V:
+        lines.insert(1, f"eta: {cfg.eta}")
+    if cfg.full_metrics:
+        lines += [
+            f"PSNR mean/std: {_mstd(extra['psnr'])[0]:.3f} / {_mstd(extra['psnr'])[1]:.3f}",
+            f"SAM  mean/std: {_mstd(extra['sam'])[0]:.4f} / {_mstd(extra['sam'])[1]:.4f}",
+            f"ERGAS mean/std:{_mstd(extra['ergas'])[0]:.2f} / {_mstd(extra['ergas'])[1]:.2f}",
+        ]
+    _summary(os.path.join(cfg.out_dir, "ddim_summary.txt"), lines)
+    return {"MAE_mean": mae_mu, "MAE_std": mae_sd, "MSE_mean": mse_mu, "MSE_std": mse_sd}
+
+
+def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
+                        steps: Optional[int] = None):
+    """One jitted (cond, gt, noise) → x0̂ for the current param/config."""
+    cfg = ctx.cfg
+    t_start = cfg.t_start if t_start is None else t_start
+    steps = cfg.ddim_steps if steps is None else steps
+
+    if ctx.param is Parameterization.EPS:
+
+        @jax.jit
+        def sample(cond, gt, noise):
+            fn = ctx.denoise_fn(cond)
+            return ddim_anchored(
+                fn, gt, jax.random.PRNGKey(0), ctx.schedule, t_start, steps, noise=noise
+            )
+
+    else:
+        grid = round_unique_grid(t_start, steps, cfg.T)
+        ab = float(ctx.schedule.alpha_bar_np()[min(max(t_start, 1), cfg.T - 1)])
+        scale = float(np.sqrt(1.0 - ab))
+
+        @jax.jit
+        def sample(cond, gt, noise):
+            fn = ctx.denoise_fn(cond)
+            x_init = noise * scale  # `..._v_Prediction.py:154` mean-free init
+            return ddim_grid_sample(
+                fn, x_init, jax.random.PRNGKey(0), ctx.schedule, grid,
+                Parameterization.V, eta=cfg.eta,
+            )
+
+    return sample
+
+
+def run_ddim_sweep(ctx: EvalContext) -> Dict:
+    """t_start × steps grid with per-file fixed noise
+    (`Evaluation/DDIM_Sweep.py:386-416`)."""
+    cfg = ctx.cfg
+    assert cfg.t_start_grid and cfg.ddim_steps_grid, "sweep grids required"
+    rows = []
+    results = {}
+    for t_start in cfg.t_start_grid:
+        for steps in cfg.ddim_steps_grid:
+            sampler = _make_recon_sampler(ctx, t_start, steps)
+            maes, mses = [], []
+            for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+                idxs = [ctx.file_idx[n] for n in names]
+                noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
+                x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
+                mae_b, mse_b = M.per_file_mae_mse(x0, jnp.asarray(gt), jnp.asarray(mask))
+                maes += list(np.asarray(mae_b)[:n_valid])
+                mses += list(np.asarray(mse_b)[:n_valid])
+            mae_mu, mae_sd = _mstd(maes)
+            mse_mu, mse_sd = _mstd(mses)
+            rows.append([t_start, steps, len(maes),
+                         f"{mae_mu:.6f}", f"{mae_sd:.6f}", f"{mse_mu:.6f}", f"{mse_sd:.6f}"])
+            results[(t_start, steps)] = mae_mu
+    _write_csv(
+        os.path.join(cfg.out_dir, "ddim_sweep_summary.csv"),
+        ["t_start", "steps", "files", "MAE_mean", "MAE_std", "MSE_mean", "MSE_std"],
+        rows,
+    )
+    return results
+
+
+def run_pred_diagnostics(ctx: EvalContext) -> Dict:
+    """eps mode (`Evaluation/DDIM_Multi-step.py:243-259`) and vdiag mode
+    (`..._v_Prediction.py:181-208`) — prediction-space MSE/cosine at t_small."""
+    cfg = ctx.cfg
+    is_v = ctx.param is Parameterization.V
+    t_small = max(1, min(cfg.t_small, cfg.T - 1))
+
+    @jax.jit
+    def diag(cond, gt, noise):
+        B = gt.shape[0]
+        t = jnp.full((B,), t_small, jnp.int32)
+        sab = ctx.schedule.sqrt_alpha_bar[t]
+        s1m = ctx.schedule.sqrt_one_minus_alpha_bar[t]
+        x_t = q_sample(gt, noise, sab, s1m)
+        pred = ctx.denoise_fn(cond)(x_t, t)
+        if is_v:
+            v_true = v_from_x0_eps(gt, noise, sab, s1m)
+            _, eps_pred = pred_to_x0_eps(Parameterization.V, x_t, pred, sab, s1m)
+            per = jax.vmap(
+                lambda p, vt, ep, z: M.v_diagnostics(p, vt, ep, z)
+            )(pred, v_true, eps_pred, noise)
+            return per
+        per = jax.vmap(lambda p, z: M.eps_diagnostics(p, z))(pred, noise)
+        return per
+
+    rows, col1, col2, col3 = [], [], [], []
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        idxs = [ctx.file_idx[n] for n in names]
+        noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
+        out = diag(jnp.asarray(cond), jnp.asarray(gt), noise)
+        out = [np.asarray(o) for o in out]
+        for j in range(n_valid):
+            if is_v:
+                rows.append([names[j], t_small, f"{out[0][j]:.6f}",
+                             f"{out[1][j]:.6f}", f"{out[2][j]:.6f}"])
+                col3.append(float(out[2][j]))
+            else:
+                rows.append([names[j], t_small, f"{out[0][j]:.6f}", f"{out[1][j]:.6f}"])
+            col1.append(float(out[0][j]))
+            col2.append(float(out[1][j]))
+
+    if is_v:
+        _write_csv(os.path.join(cfg.out_dir, "vdiag.csv"),
+                   ["file", "t_small", "v_MSE", "v_cos", "eps_cos"], rows)
+        _summary(os.path.join(cfg.out_dir, "vdiag_summary.txt"), [
+            f"files: {len(col1)}  t_small: {t_small}",
+            f"v_MSE mean/std: {_mstd(col1)[0]:.6f} / {_mstd(col1)[1]:.6f}",
+            f"v_cos mean/std: {_mstd(col2)[0]:.6f} / {_mstd(col2)[1]:.6f}",
+            f"eps_cos mean/std: {_mstd(col3)[0]:.6f} / {_mstd(col3)[1]:.6f}",
+        ])
+        return {"v_mse": _mstd(col1)[0], "v_cos": _mstd(col2)[0], "eps_cos": _mstd(col3)[0]}
+    _write_csv(os.path.join(cfg.out_dir, "eps_diag.csv"),
+               ["file", "t_small", "eps_MSE", "cosine"], rows)
+    _summary(os.path.join(cfg.out_dir, "eps_summary.txt"), [
+        f"files: {len(col1)}  t_small: {t_small}",
+        f"eps_MSE mean/std: {_mstd(col1)[0]:.6f} / {_mstd(col1)[1]:.6f}",
+        f"cosine  mean/std: {_mstd(col2)[0]:.6f} / {_mstd(col2)[1]:.6f}",
+    ])
+    return {"eps_mse": _mstd(col1)[0], "cosine": _mstd(col2)[0]}
+
+
+def _one_step_sampler(ctx: EvalContext, t_small: Optional[int] = None):
+    t_small = ctx.cfg.t_small if t_small is None else t_small
+
+    @jax.jit
+    def sample(cond, gt, noise):
+        fn = ctx.denoise_fn(cond)
+        return one_step_recon(
+            fn, gt, jax.random.PRNGKey(0), ctx.schedule, t_small, ctx.param, noise=noise
+        )
+
+    return sample
+
+
+def run_seed_stats(ctx: EvalContext) -> Dict:
+    """n_seeds one-step recons per file → per-file mean/std, dataset
+    mean-of-means (`Evaluation/DDIM_Multi-step.py:262-291`)."""
+    cfg = ctx.cfg
+    sampler = _one_step_sampler(ctx)
+    per_file: Dict[str, List[Tuple[float, float]]] = {}
+    for s in range(cfg.n_seeds):
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+            idxs = [ctx.file_idx[n] for n in names]
+            noise = ctx.per_file_noise(
+                idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=1000 + s
+            )
+            x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
+            mae_b, mse_b = M.per_file_mae_mse(x0, jnp.asarray(gt), jnp.asarray(mask))
+            for j in range(n_valid):
+                per_file.setdefault(names[j], []).append(
+                    (float(mae_b[j]), float(mse_b[j]))
+                )
+    rows, mae_means, mae_stds, mse_means, mse_stds = [], [], [], [], []
+    for name in ctx.ds.files:
+        vals = np.asarray(per_file[name])
+        mae_mu, mae_sd = float(vals[:, 0].mean()), float(vals[:, 0].std())
+        mse_mu, mse_sd = float(vals[:, 1].mean()), float(vals[:, 1].std())
+        rows.append([name, cfg.t_small, cfg.n_seeds,
+                     f"{mae_mu:.6f}", f"{mae_sd:.6f}", f"{mse_mu:.6f}", f"{mse_sd:.6f}"])
+        mae_means.append(mae_mu)
+        mae_stds.append(mae_sd)
+        mse_means.append(mse_mu)
+        mse_stds.append(mse_sd)
+    _write_csv(os.path.join(cfg.out_dir, "seed_stats.csv"),
+               ["file", "t_small", "n_seeds", "MAE_mean", "MAE_std", "MSE_mean", "MSE_std"],
+               rows)
+    _summary(os.path.join(cfg.out_dir, "seed_stats_summary.txt"), [
+        f"files: {len(rows)}  t_small: {cfg.t_small}  n_seeds: {cfg.n_seeds}",
+        f"MAE mean_of_means/std_of_means: {np.mean(mae_means):.6f} / {np.std(mae_means):.6f}",
+        f"MSE mean_of_means/std_of_means: {np.mean(mse_means):.6f} / {np.std(mse_means):.6f}",
+        f"Avg per-file MAE_std: {np.mean(mae_stds):.6f}",
+        f"Avg per-file MSE_std: {np.mean(mse_stds):.6f}",
+    ])
+    return {"MAE_mean_of_means": float(np.mean(mae_means))}
+
+
+def run_per_band(ctx: EvalContext) -> Dict:
+    """Per-band one-step metrics + dataset aggregation
+    (`Evaluation/DDIM_Multi-step.py:294-340`)."""
+    cfg = ctx.cfg
+    sampler = _one_step_sampler(ctx)
+    psnr_v = _vmapped(M.psnr)
+    band_accum: Dict[int, List[Tuple[float, float, float, float]]] = {}
+    rows = []
+    saved = 0
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        idxs = [ctx.file_idx[n] for n in names]
+        noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=7)
+        x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
+        gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
+        per_band = []
+        for b in range(ctx.Ct):
+            p, g = x0[..., b : b + 1], gt_j[..., b : b + 1]
+            mae_b, mse_b = M.per_file_mae_mse(p, g, mask_j)
+            ps = psnr_v(p, g, mask_j)
+            ss = jax.vmap(lambda a, c: M.ssim_simple(a, c))(p, g)
+            per_band.append((np.asarray(mae_b), np.asarray(mse_b),
+                             np.asarray(ps), np.asarray(ss)))
+        for j in range(n_valid):
+            row = [names[j]]
+            for b in range(ctx.Ct):
+                mae_b, mse_b, ps, ss = per_band[b]
+                row += [f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}", f"{ps[j]:.3f}", f"{ss[j]:.4f}"]
+                band_accum.setdefault(b, []).append(
+                    (float(mae_b[j]), float(mse_b[j]), float(ps[j]), float(ss[j]))
+                )
+            rows.append(row)
+            if saved < cfg.save_viz_n:
+                V.save_rgb_triplet(
+                    np.asarray(x0[j]),
+                    os.path.join(ctx.viz_dir, f"{saved:03d}_pb_pred_true.png"),
+                    os.path.join(ctx.viz_dir, f"{saved:03d}_pb_pred_cir.png"),
+                )
+                saved += 1
+    hdr = ["file"]
+    for b in range(ctx.Ct):
+        hdr += [f"band{b}_MAE", f"band{b}_MSE", f"band{b}_PSNR", f"band{b}_SSIMs"]
+    _write_csv(os.path.join(cfg.out_dir, "per_band_all.csv"), hdr, rows)
+
+    agg_rows = []
+    for b, vals in sorted(band_accum.items()):
+        arr = np.asarray(vals)
+        agg_rows.append([b] + [
+            f"{arr[:, 0].mean():.6f}", f"{arr[:, 0].std():.6f}",
+            f"{arr[:, 1].mean():.6f}", f"{arr[:, 1].std():.6f}",
+            f"{arr[:, 2].mean():.3f}", f"{arr[:, 2].std():.3f}",
+            f"{arr[:, 3].mean():.4f}", f"{arr[:, 3].std():.4f}",
+        ])
+    _write_csv(
+        os.path.join(cfg.out_dir, "per_band_summary.csv"),
+        ["band", "MAE_mean", "MAE_std", "MSE_mean", "MSE_std",
+         "PSNR_mean", "PSNR_std", "SSIMs_mean", "SSIMs_std"],
+        agg_rows,
+    )
+    return {"bands": len(band_accum)}
+
+
+def run_ablate(ctx: EvalContext) -> Dict:
+    """Zero each cond channel (same fixed noise per file), ΔMAE/ΔMSE vs
+    baseline (`Evaluation/DDIM_Multi-step.py:343-393`)."""
+    cfg = ctx.cfg
+    sampler = _one_step_sampler(ctx)
+    rows = []
+    ch_stats: Dict[int, List[Tuple[float, float, float, float]]] = {}
+    t_small = max(1, min(cfg.t_small, cfg.T - 1))
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        # reference uses ONE fixed seed for every file in ablate mode
+        noise = ctx.per_file_noise([0] * cfg.batch_size, salt=99)
+        cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
+        x0_b = sampler(cond_j, gt_j, noise)
+        base_mae, base_mse = M.per_file_mae_mse(x0_b, gt_j, mask_j)
+        base_mae, base_mse = np.asarray(base_mae), np.asarray(base_mse)
+        per_ch = []
+        for ch in range(ctx.Cc):
+            cond_ab = cond_j.at[..., ch].set(0.0)
+            x0 = sampler(cond_ab, gt_j, noise)
+            mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
+            per_ch.append((np.asarray(mae_b), np.asarray(mse_b)))
+        for j in range(n_valid):
+            for ch in range(ctx.Cc):
+                mae_b, mse_b = per_ch[ch]
+                dmae = float(mae_b[j] - base_mae[j])
+                dmse = float(mse_b[j] - base_mse[j])
+                rows.append([names[j], t_small,
+                             f"{base_mae[j]:.6f}", f"{base_mse[j]:.6f}", ch,
+                             f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}",
+                             f"{dmae:.6f}", f"{dmse:.6f}"])
+                ch_stats.setdefault(ch, []).append(
+                    (float(mae_b[j]), float(mse_b[j]), dmae, dmse)
+                )
+    _write_csv(os.path.join(cfg.out_dir, "ablate_all.csv"),
+               ["file", "t_small", "baseline_MAE", "baseline_MSE", "channel",
+                "MAE", "MSE", "dMAE", "dMSE"], rows)
+    agg = []
+    for ch, vals in sorted(ch_stats.items()):
+        arr = np.asarray(vals)
+        row = [ch]
+        for k in range(4):
+            row += [f"{arr[:, k].mean():.6f}", f"{arr[:, k].std():.6f}"]
+        agg.append(row)
+    _write_csv(os.path.join(cfg.out_dir, "ablate_summary.csv"),
+               ["channel", "MAE_mean", "MAE_std", "MSE_mean", "MSE_std",
+                "dMAE_mean", "dMAE_std", "dMSE_mean", "dMSE_std"], agg)
+    return {ch: float(np.asarray(v)[:, 2].mean()) for ch, v in ch_stats.items()}
+
+
+def run_tsweep(ctx: EvalContext) -> Dict:
+    """One-step recon across t_values with per-file fixed noise
+    (`Evaluation/Comparison_Original.py:410-446`)."""
+    cfg = ctx.cfg
+    rows = []
+    results: Dict[int, List[float]] = {}
+    samplers = {int(t): _one_step_sampler(ctx, int(t)) for t in cfg.t_values}
+    saved = 0
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        noise = ctx.per_file_noise([0] * cfg.batch_size, salt=99)  # fixed noise
+        cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
+        outs = {}
+        for t in cfg.t_values:
+            t_c = max(1, min(int(t), cfg.T - 1))
+            x0 = samplers[int(t)](cond_j, gt_j, noise)
+            outs[t_c] = x0
+            mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
+            mae_b, mse_b = np.asarray(mae_b), np.asarray(mse_b)
+            for j in range(n_valid):
+                rows.append([names[j], t_c, f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}"])
+                results.setdefault(t_c, []).append(float(mae_b[j]))
+        mid_t = max(1, min(int(cfg.t_values[len(cfg.t_values) // 2]), cfg.T - 1))
+        for j in range(n_valid):
+            if saved < cfg.save_viz_n:
+                V.save_panel(
+                    np.asarray(outs[mid_t][j]), gt[j], cond[j],
+                    os.path.join(ctx.viz_dir, f"{saved:03d}_tsweep_t{mid_t}.png"),
+                    title=f"t-sweep middle t={mid_t}",
+                )
+                saved += 1
+    _write_csv(os.path.join(cfg.out_dir, "tsweep.csv"),
+               ["file", "t", "MAE", "MSE"], rows)
+    return {t: float(np.mean(v)) for t, v in results.items()}
+
+
+def run_true_infer(ctx: EvalContext) -> Dict:
+    """Pure generation scoring: n_seeds generations from noise per file,
+    MAE/MSE/PSNR/SAM/ERGAS mean/std (`Evaluation_Pure_Generation.py:538-573`)."""
+    cfg = ctx.cfg
+    psnr_v, sam_v, ergas_v = _vmapped(M.psnr), _vmapped(M.sam), _vmapped(M.ergas)
+
+    if ctx.param is Parameterization.EPS:
+
+        @jax.jit
+        def generate(cond, noise):
+            fn = ctx.denoise_fn(cond)
+            return _ddim_from_init(fn, noise, ctx.schedule, cfg.t_start, cfg.ddim_steps)
+
+    else:
+        grid = round_unique_grid(cfg.t_start, cfg.ddim_steps, cfg.T)
+        ab = float(ctx.schedule.alpha_bar_np()[min(max(cfg.t_start, 1), cfg.T - 1)])
+        scale = float(np.sqrt(1.0 - ab))
+
+        @jax.jit
+        def generate(cond, noise):
+            fn = ctx.denoise_fn(cond)
+            return ddim_grid_sample(
+                fn, noise * scale, jax.random.PRNGKey(0), ctx.schedule, grid,
+                Parameterization.V, eta=cfg.eta,
+            )
+
+    per_file: Dict[str, List[Tuple[float, ...]]] = {}
+    for s in range(max(1, cfg.n_seeds)):
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+            idxs = [ctx.file_idx[n] for n in names]
+            noise = ctx.per_file_noise(
+                idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=5000 + s
+            )
+            x0 = generate(jnp.asarray(cond), noise)
+            gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
+            mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
+            p_b = psnr_v(x0, gt_j, mask_j)
+            s_b = sam_v(x0, gt_j, mask_j)
+            e_b = ergas_v(x0, gt_j, mask_j)
+            for j in range(n_valid):
+                per_file.setdefault(names[j], []).append(
+                    (float(mae_b[j]), float(mse_b[j]), float(p_b[j]),
+                     float(s_b[j]), float(e_b[j]))
+                )
+    rows, agg = [], {k: [] for k in ("mae", "mse", "psnr", "sam", "ergas")}
+    for name in ctx.ds.files:
+        arr = np.asarray(per_file[name])
+        rows.append([name, cfg.t_start, cfg.ddim_steps, cfg.n_seeds,
+                     f"{arr[:, 0].mean():.6f}", f"{arr[:, 0].std():.6f}",
+                     f"{arr[:, 1].mean():.6f}", f"{arr[:, 1].std():.6f}",
+                     f"{arr[:, 2].mean():.3f}", f"{arr[:, 3].mean():.4f}",
+                     f"{arr[:, 4].mean():.2f}"])
+        for k, col in zip(("mae", "mse", "psnr", "sam", "ergas"), range(5)):
+            agg[k].append(float(arr[:, col].mean()))
+    _write_csv(os.path.join(cfg.out_dir, "ddim_true_infer_metrics.csv"),
+               ["file", "t_start", "ddim_steps", "seeds", "MAE_mean", "MAE_std",
+                "MSE_mean", "MSE_std", "PSNR_mean", "SAM_mean", "ERGAS_mean"], rows)
+    _summary(os.path.join(cfg.out_dir, "ddim_true_infer_summary.txt"), [
+        f"files: {len(rows)}  t_start: {cfg.t_start}  steps: {cfg.ddim_steps}  seeds: {cfg.n_seeds}",
+        f"MAE  mean/std: {_mstd(agg['mae'])[0]:.6f} / {_mstd(agg['mae'])[1]:.6f}",
+        f"MSE  mean/std: {_mstd(agg['mse'])[0]:.6f} / {_mstd(agg['mse'])[1]:.6f}",
+        f"PSNR mean/std: {_mstd(agg['psnr'])[0]:.3f} / {_mstd(agg['psnr'])[1]:.3f}",
+        f"SAM  mean/std: {_mstd(agg['sam'])[0]:.4f} / {_mstd(agg['sam'])[1]:.4f}",
+        f"ERGAS mean/std: {_mstd(agg['ergas'])[0]:.2f} / {_mstd(agg['ergas'])[1]:.2f}",
+    ])
+    return {"MAE_mean": _mstd(agg["mae"])[0], "PSNR_mean": _mstd(agg["psnr"])[0]}
+
+
+def _ddim_from_init(fn, x_init, schedule, t_start, steps):
+    """ε linspace DDIM from an explicit init (pure-generation path,
+    `Evaluation_Pure_Generation.py:278-292`)."""
+    from s1s2.sampling.samplers import _ddim_linspace_scan
+
+    return _ddim_linspace_scan(fn, x_init, schedule, t_start, steps, (0.0, 1.0))
+
+
+def run_onestep(ctx: EvalContext) -> Dict:
+    """t=0 identity + one-step@t_small sanity check with previews
+    (`Evaluation/Onestep.py:93-175`, v twin with fixed-range viz)."""
+    cfg = ctx.cfg
+    (cond, gt, mask), names, n_valid = next(iter(eval_batches(ctx.ds, cfg.batch_size)))
+    cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
+
+    # (A) t=0 identity: x0̂ == x_t == GT by schedule algebra
+    mae0 = float(M.masked_mae(gt_j, gt_j, mask_j))
+    mse0 = float(M.masked_mse(gt_j, gt_j, mask_j))
+
+    # (B) one-step at t_small
+    sampler = _one_step_sampler(ctx)
+    noise = ctx.per_file_noise(list(range(cfg.batch_size)))
+    x0 = sampler(cond_j, gt_j, noise)
+    mae = float(M.masked_mae(x0, gt_j, mask_j))
+    mse = float(M.masked_mse(x0, gt_j, mask_j))
+
+    V.save_rgb_triplet(np.asarray(gt[0]),
+                       os.path.join(cfg.out_dir, "gt_true.png"),
+                       os.path.join(cfg.out_dir, "gt_cir.png"))
+    V.save_rgb_triplet(np.asarray(x0[0]),
+                       os.path.join(cfg.out_dir, "pred_true.png"),
+                       os.path.join(cfg.out_dir, "pred_cir.png"))
+    if ctx.param is Parameterization.V:
+        lo, hi = V.per_image_lo_hi(np.asarray(gt[0]))
+        tr, ci = V.fixed_true_cir(np.asarray(x0[0]), lo, hi)
+        from PIL import Image
+
+        Image.fromarray(tr).save(os.path.join(cfg.out_dir, "pred_true_fixed.png"))
+        Image.fromarray(ci).save(os.path.join(cfg.out_dir, "pred_cir_fixed.png"))
+
+    _summary(os.path.join(cfg.out_dir, "onestep_summary.txt"), [
+        f"[t=0 identity] MAE={mae0:.6f}  MSE={mse0:.6f}  (should be ~0.0)",
+        f"[one-step@t={cfg.t_small}] MAE={mae:.6f}  MSE={mse:.6f}",
+    ])
+    return {"t0_mae": mae0, "onestep_mae": mae, "onestep_mse": mse}
+
+
+def run_limitation(ctx: EvalContext) -> Dict:
+    """Full-dataset streaming eval with full-range DDPM/DDIM sampling from
+    pure noise (`Evaluation/Limitation_Test.py:274-394`; v variant with η)."""
+    cfg = ctx.cfg
+    abs_tot = np.zeros(ctx.Ct, np.float64)
+    sq_tot = np.zeros(ctx.Ct, np.float64)
+    pix_tot = 0.0
+
+    if cfg.limitation_sampler == "ddpm":
+
+        @jax.jit
+        def sample(cond, key):
+            fn = ctx.denoise_fn(cond)
+            return ddpm_ancestral(
+                fn, cond.shape[:3] + (ctx.Ct,), key, ctx.schedule, ctx.param
+            )
+
+    else:
+        if ctx.param is Parameterization.EPS:
+            grid = full_range_grid(cfg.T, cfg.ddim_steps)
+
+            @jax.jit
+            def sample(cond, key):
+                fn = ctx.denoise_fn(cond)
+                x_init = jax.random.normal(
+                    key, cond.shape[:3] + (ctx.Ct,), jnp.float32
+                )
+                return ddim_grid_sample(
+                    fn, x_init, key, ctx.schedule, grid, Parameterization.EPS
+                )
+
+        else:
+            K = cfg.T - 1 if cfg.t_start >= cfg.T - 1 else max(1, cfg.t_start)
+            grid = round_unique_grid(K, cfg.ddim_steps, cfg.T)
+            scale = float(np.sqrt(1.0 - ctx.schedule.alpha_bar_np()[K]))
+
+            @jax.jit
+            def sample(cond, key):
+                fn = ctx.denoise_fn(cond)
+                x_init = (
+                    jax.random.normal(key, cond.shape[:3] + (ctx.Ct,), jnp.float32)
+                    * scale
+                )
+                return ddim_grid_sample(
+                    fn, x_init, key, ctx.schedule, grid, Parameterization.V,
+                    eta=cfg.eta,
+                )
+
+    saved = 0
+    base_key = jax.random.PRNGKey(cfg.seed_base)
+    first_batch = None
+    for bi, ((cond, gt, mask), names, n_valid) in enumerate(
+        eval_batches(ctx.ds, cfg.batch_size)
+    ):
+        x0 = sample(jnp.asarray(cond), jax.random.fold_in(base_key, bi))
+        gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
+        a, s, w = M.channelwise_error_sums(x0[:n_valid], gt_j[:n_valid], mask_j[:n_valid])
+        abs_tot += np.asarray(a, np.float64)
+        sq_tot += np.asarray(s, np.float64)
+        pix_tot += float(w)
+        if first_batch is None:
+            first_batch = (jnp.asarray(cond), gt_j)
+        for j in range(n_valid):
+            if saved >= cfg.save_n:
+                break
+            stem = f"{cfg.limitation_sampler}_{bi:04d}_{j:02d}"
+            V.save_pred_gt(np.asarray(x0[j]), gt[j], cfg.out_dir, stem)
+            np.save(os.path.join(cfg.out_dir, f"{stem}_pred.npy"),
+                    np.transpose(np.asarray(x0[j]), (2, 0, 1)))
+            np.save(os.path.join(cfg.out_dir, f"{stem}_gt.npy"),
+                    np.transpose(gt[j], (2, 0, 1)))
+            saved += 1
+
+    result = {}
+    mae, mse, psnr_v, mae_c, mse_c, psnr_c = M.aggregate_final(abs_tot, sq_tot, pix_tot)
+    result.update({"MAE": mae, "MSE": mse, "PSNR": psnr_v})
+    lines = [
+        "==== Unweighted (equal-channel) ====",
+        f"MAE:  {mae:.6f}", f"MSE:  {mse:.6f}", f"PSNR: {psnr_v:.3f} dB",
+    ]
+    if cfg.band_weights:
+        mae_w, mse_w, psnr_w, *_ = M.aggregate_final(
+            abs_tot, sq_tot, pix_tot, band_weights=list(cfg.band_weights)
+        )
+        lines += ["==== Weighted (band_weights) ====",
+                  f"band_weights = {list(cfg.band_weights)}",
+                  f"MAE_w:  {mae_w:.6f}", f"MSE_w:  {mse_w:.6f}",
+                  f"PSNR_w: {psnr_w:.3f} dB"]
+        result.update({"MAE_w": mae_w})
+    names4 = ["B2", "B3", "B4", "B8"] if ctx.Ct == 4 else [f"Band{i}" for i in range(ctx.Ct)]
+    lines.append("-- Per-channel metrics (pixel-weighted) --")
+    for i, nm in enumerate(names4):
+        lines.append(
+            f"{nm:>3s}:  MAE={mae_c[i]:.6f}  MSE={mse_c[i]:.6f}  PSNR={psnr_c[i]:.3f} dB"
+        )
+
+    # optional partial-reverse diagnostics on the first batch
+    if cfg.partial_reverse_k and first_batch is not None:
+        cond0, gt0 = first_batch
+
+        for k in cfg.partial_reverse_k:
+            @jax.jit
+            def prev(cond, gt, key, k=int(k)):
+                fn = ctx.denoise_fn(cond)
+                return partial_ddim_from_gt(fn, gt, key, ctx.schedule, k)
+
+            xr = prev(cond0, gt0, jax.random.fold_in(base_key, 10_000 + int(k)))
+            a, s, w = M.channelwise_error_sums(xr, gt0)
+            mae_k, mse_k, psnr_k, *_ = M.aggregate_final(
+                np.asarray(a), np.asarray(s), float(w)
+            )
+            lines.append(
+                f"[partial-reverse k={int(k)}] MAE={mae_k:.6f}  MSE={mse_k:.6f}  PSNR={psnr_k:.3f} dB"
+            )
+            result[f"partial_k{int(k)}_MAE"] = mae_k
+
+    _summary(os.path.join(cfg.out_dir, "limitation_summary.txt"), lines)
+    return result
+
+
+def run_night_demo(ctx: EvalContext) -> Dict:
+    """GT-free generation panels (`Evaluation/Comparison_Original.py:603-612`)."""
+    cfg = ctx.cfg
+    n = 0
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        idxs = [ctx.file_idx[nm] for nm in names]
+        noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
+
+        @jax.jit
+        def gen(cond, noise):
+            fn = ctx.denoise_fn(cond)
+            return _ddim_from_init(fn, noise, ctx.schedule, cfg.t_start, cfg.ddim_steps)
+
+        x0 = gen(jnp.asarray(cond), noise)
+        for j in range(n_valid):
+            if n >= max(1, cfg.save_viz_n):
+                return {"panels": n}
+            V.save_panel(np.asarray(x0[j]), None, cond[j],
+                         os.path.join(ctx.viz_dir, f"{n:03d}_night_panel.png"),
+                         title=f"Night demo: {names[j]}")
+            n += 1
+    return {"panels": n}
+
+
+def run_cloudy_viz(ctx: EvalContext) -> Dict:
+    """Reconstruct + panel the cloudiest files
+    (`Evaluation/Comparison_Original.py:583-601`)."""
+    cfg = ctx.cfg
+    fracs = []
+    for i, f in enumerate(ctx.ds.files):
+        d = load_patch(ctx.ds.path(i), with_cloud=True)
+        cloud = d.get("cloud")
+        frac = float((cloud > 0.5).mean()) if cloud is not None else 0.0
+        fracs.append((-frac, f, i))
+    fracs.sort()
+    selected = fracs[: cfg.select_top_cloud]
+    sampler = _make_recon_sampler(ctx, 200, 20)
+    for n, (_, fname, i) in enumerate(selected):
+        d = load_patch(ctx.ds.path(i))
+        cond = jnp.asarray(d["cond"][None])
+        gt = jnp.asarray(d["target"][None])
+        noise = ctx.per_file_noise([i])
+        # batch of one — pad to batch_size for the shared jit signature
+        pad = cfg.batch_size - 1
+        x0 = sampler(
+            jnp.concatenate([cond] + [cond] * pad),
+            jnp.concatenate([gt] + [gt] * pad),
+            jnp.concatenate([noise] + [noise] * pad),
+        )[0]
+        V.save_panel(np.asarray(x0), d["target"], d["cond"],
+                     os.path.join(ctx.viz_dir, f"{n:03d}_cloudy_panel.png"),
+                     title=f"Cloudy case: {fname}",
+                     zoom=cfg.zoom, zoom_k=cfg.zoom_k)
+    return {"panels": len(selected)}
+
+
+def run_baseline(ctx: EvalContext, kind: str) -> Dict:
+    """bicubic / ridge-linear classical baselines with the full metric set
+    (`Evaluation_Pure_Generation.py:729-773`)."""
+    cfg = ctx.cfg
+    psnr_v, sam_v, ergas_v = _vmapped(M.psnr), _vmapped(M.sam), _vmapped(M.ergas)
+    rows, agg = [], {k: [] for k in ("mae", "mse", "psnr", "sam", "ergas")}
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
+        if kind == "bicubic":
+            pred = baseline_bicubic(gt_j)
+        else:
+            pred = jnp.stack([
+                jnp.asarray(
+                    baseline_linear_fit_predict(cond[j], gt[j], mask[j],
+                                                seed=cfg.seed_base)
+                )
+                for j in range(gt.shape[0])
+            ])
+        mae_b, mse_b = M.per_file_mae_mse(pred, gt_j, mask_j)
+        p_b, s_b, e_b = psnr_v(pred, gt_j, mask_j), sam_v(pred, gt_j, mask_j), ergas_v(pred, gt_j, mask_j)
+        for j in range(n_valid):
+            rows.append([names[j], f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}",
+                         f"{p_b[j]:.3f}", f"{s_b[j]:.4f}", f"{e_b[j]:.2f}"])
+            agg["mae"].append(float(mae_b[j]))
+            agg["mse"].append(float(mse_b[j]))
+            agg["psnr"].append(float(p_b[j]))
+            agg["sam"].append(float(s_b[j]))
+            agg["ergas"].append(float(e_b[j]))
+    _write_csv(os.path.join(cfg.out_dir, f"baseline_{kind}_metrics.csv"),
+               ["file", "MAE", "MSE", "PSNR", "SAM(rad)", "ERGAS"], rows)
+    _summary(os.path.join(cfg.out_dir, f"baseline_{kind}_summary.txt"), [
+        f"files: {len(rows)}  baseline: {kind}",
+        f"MAE  mean/std: {_mstd(agg['mae'])[0]:.6f} / {_mstd(agg['mae'])[1]:.6f}",
+        f"MSE  mean/std: {_mstd(agg['mse'])[0]:.6f} / {_mstd(agg['mse'])[1]:.6f}",
+        f"PSNR mean/std: {_mstd(agg['psnr'])[0]:.3f} / {_mstd(agg['psnr'])[1]:.3f}",
+        f"SAM  mean/std: {_mstd(agg['sam'])[0]:.4f} / {_mstd(agg['sam'])[1]:.4f}",
+        f"ERGAS mean/std: {_mstd(agg['ergas'])[0]:.2f} / {_mstd(agg['ergas'])[1]:.2f}",
+    ])
+    return {"MAE_mean": _mstd(agg["mae"])[0]}
+
+
+def run_cfg_sweep(ctx: EvalContext) -> Dict:
+    """Guidance-scale sweep for CFG models (BASELINE.json config list; the
+    reference's cfg_v family shipped with no surviving sampler — SURVEY.md
+    §0). For each guidance scale g: pure-noise DDIM generation with the
+    cond/uncond pair batched into one forward, scored vs GT."""
+    cfg = ctx.cfg
+    scales = list(cfg.guidance_scales) if cfg.guidance_scales else [1.0, 1.5, 2.0, 3.0, 5.0]
+    rows = []
+    results = {}
+    for g in scales:
+        if ctx.param is Parameterization.EPS:
+
+            @jax.jit
+            def generate(cond, noise, g=float(g)):
+                fn = make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
+                return _ddim_from_init(fn, noise, ctx.schedule, cfg.t_start,
+                                       cfg.ddim_steps)
+
+        else:
+            grid = round_unique_grid(cfg.t_start, cfg.ddim_steps, cfg.T)
+            scale = float(np.sqrt(
+                1.0 - ctx.schedule.alpha_bar_np()[min(max(cfg.t_start, 1), cfg.T - 1)]
+            ))
+
+            @jax.jit
+            def generate(cond, noise, g=float(g)):
+                fn = make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
+                return ddim_grid_sample(fn, noise * scale, jax.random.PRNGKey(0),
+                                        ctx.schedule, grid, Parameterization.V,
+                                        eta=cfg.eta)
+
+        maes, mses, psnrs = [], [], []
+        psnr_v = _vmapped(M.psnr)
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+            idxs = [ctx.file_idx[n] for n in names]
+            noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
+            x0 = generate(jnp.asarray(cond), noise)
+            gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
+            mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
+            p_b = psnr_v(x0, gt_j, mask_j)
+            maes += list(np.asarray(mae_b)[:n_valid])
+            mses += list(np.asarray(mse_b)[:n_valid])
+            psnrs += list(np.asarray(p_b)[:n_valid])
+        mae_mu, mae_sd = _mstd(maes)
+        rows.append([g, cfg.t_start, cfg.ddim_steps, len(maes),
+                     f"{mae_mu:.6f}", f"{mae_sd:.6f}",
+                     f"{_mstd(mses)[0]:.6f}", f"{_mstd(psnrs)[0]:.3f}"])
+        results[g] = mae_mu
+    _write_csv(os.path.join(cfg.out_dir, "cfg_sweep_summary.csv"),
+               ["guidance", "t_start", "steps", "files",
+                "MAE_mean", "MAE_std", "MSE_mean", "PSNR_mean"], rows)
+    return results
+
+
+MODES = {
+    "onestep": run_onestep,
+    "cfg_sweep": run_cfg_sweep,
+    "ddim": run_ddim,
+    "ddim_sweep": run_ddim_sweep,
+    "eps": run_pred_diagnostics,
+    "vdiag": run_pred_diagnostics,
+    "seed_stats": run_seed_stats,
+    "per_band": run_per_band,
+    "ablate": run_ablate,
+    "tsweep": run_tsweep,
+    "true_infer": run_true_infer,
+    "night_demo": run_night_demo,
+    "cloudy_viz": run_cloudy_viz,
+    "baseline_bicubic": partial(run_baseline, kind="bicubic"),
+    "baseline_linear": partial(run_baseline, kind="linear"),
+    "limitation": run_limitation,
+}
+
+
+def run_mode(cfg: EvalConfig) -> Dict:
+    if cfg.mode == "vdiag":
+        cfg = dataclasses.replace(cfg, pred_param="v")
+    ctx = EvalContext(cfg)
+    fn = MODES[cfg.mode]
+    if cfg.mode in ("baseline_bicubic", "baseline_linear"):
+        return fn(ctx)
+    return fn(ctx)

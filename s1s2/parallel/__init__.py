@@ -1,0 +1,21 @@
+"""Device mesh & sharding utilities (ICI data-parallel + spatial)."""
+
+from s1s2.parallel.mesh import (
+    make_mesh,
+    make_mesh_for_batch,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_train_step,
+    initialize_distributed,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_mesh_for_batch",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_train_step",
+    "initialize_distributed",
+]

@@ -1,0 +1,104 @@
+"""Device mesh + sharding layer — the distributed backend the reference never
+had (SURVEY.md §2.3: single-process, single-device; no NCCL/MPI anywhere).
+
+TPU-native design:
+* one logical mesh with axes ``('data', 'space')`` over ICI. Batches shard
+  over ``data``; optionally the image H dimension shards over ``space``
+  (XLA's SPMD partitioner inserts the halo exchanges for the 3×3 convs
+  automatically — the TPU analog of the reference's "spatial tiling is done
+  offline in Patch.py" scale story).
+* gradients/EMA are NOT manually all-reduced: the train step is jitted with
+  replicated state sharding and batch-sharded data, so XLA emits the psum
+  over ICI itself (the "let-the-compiler-insert-collectives" recipe).
+* multi-host entry via ``jax.distributed.initialize`` (no-op single-host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kw) -> None:
+    """Multi-host bring-up; safe no-op when already initialized/single-host."""
+    try:
+        jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    space: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'space') mesh. Default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // space
+    if data * space != n:
+        raise ValueError(f"mesh {data}x{space} != {n} devices")
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, axis_names=("data", "space"))
+
+
+def make_mesh_for_batch(batch_size: int, space: int = 1,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh whose data axis is the largest device count that divides the
+    global batch (a 17M-param model never needs more than DP; leftover
+    devices idle rather than fail)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices) // space
+    data = 1
+    for d in range(n, 0, -1):
+        if batch_size % d == 0:
+            data = d
+            break
+    return make_mesh(data=data, space=space, devices=devices[: data * space])
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None) -> NamedSharding:
+    """Sharding for (B, H, W, C) batches: B over 'data', optionally H over
+    'space'."""
+    spec = [None, None, None, None]
+    spec[0] = "data"
+    if spatial_axis is not None and mesh.shape.get("space", 1) > 1:
+        spec[spatial_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+    """Place a pytree of (B, ...) host arrays onto the mesh, batch-sharded."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = ["data"] + [None] * (x.ndim - 1)
+        if spatial and x.ndim >= 3 and mesh.shape.get("space", 1) > 1:
+            spec[1] = "space"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_train_step(step_fn, mesh: Mesh, spatial: bool = False):
+    """jit a ``step(state, batch, key)`` with replicated state and
+    data-sharded batch; XLA inserts the grad psum over ICI."""
+    repl = replicated(mesh)
+    # P shorter than ndim leaves trailing dims replicated, so one spec fits
+    # both (B,H,W,C) images and the (B,H,W) mask
+    spec = P("data", "space") if spatial else P("data")
+    bshard = tuple(NamedSharding(mesh, spec) for _ in range(3))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, bshard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,33 @@
+"""DDIM/DDPM samplers as jit-able lax.scan loops (batched, CFG-capable)."""
+
+from s1s2.sampling.grids import (
+    linspace_grid,
+    round_unique_grid,
+    full_range_grid,
+)
+from s1s2.sampling.samplers import (
+    SamplerConfig,
+    ddim_anchored,
+    ddim_generate,
+    ddim_grid_sample,
+    ddpm_ancestral,
+    partial_ddim_from_gt,
+    one_step_recon,
+    make_denoise_fn,
+    make_cfg_denoise_fn,
+)
+
+__all__ = [
+    "linspace_grid",
+    "round_unique_grid",
+    "full_range_grid",
+    "SamplerConfig",
+    "ddim_anchored",
+    "ddim_generate",
+    "ddim_grid_sample",
+    "ddpm_ancestral",
+    "partial_ddim_from_gt",
+    "one_step_recon",
+    "make_denoise_fn",
+    "make_cfg_denoise_fn",
+]

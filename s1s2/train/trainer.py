@@ -1,0 +1,132 @@
+"""Epoch-level training driver — the reference's ``train_ddpm``
+(`Train_Orignal.py:218-336`) / ``train`` (`Train_v_Prediction.py:277-444`)
+re-built around the fused jitted step and the device mesh.
+
+Differences by design:
+* device placement + gradient psum via s1s2.parallel (mesh data-parallel);
+* loss logging reads back ONE scalar per logged step instead of per-step
+  ``.item()`` syncs;
+* full resume support (orbax) on top of the reference's last/best/final-EMA
+  model triple.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s1s2.core.schedule import Schedule
+from s1s2.data.dataset import NpzPatchDataset
+from s1s2.data.loader import batch_iterator
+from s1s2.models.unet import UNetSmall
+from s1s2.parallel import make_mesh_for_batch, shard_batch, shard_train_step
+from s1s2.train.checkpoint import reference_artifact_paths, save_model, save_state
+from s1s2.train.loop import TrainConfig, TrainState, create_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Run-level settings (reference CLI surface, `Train_v_Prediction.py:448-473`)."""
+
+    patch_dir: str
+    model_path: str  # .msgpack; _last/_best siblings are derived
+    epochs: int = 40
+    batch_size: int = 4
+    base_ch: int = 96
+    max_patches: Optional[int] = None
+    seed: int = 1337
+    schedule: str = "cosine"
+    log_every: int = 50
+    save_state_dir: Optional[str] = None  # orbax resume dir
+    spatial_shard: bool = False
+    compute_dtype: str = "bfloat16"
+
+
+def train_loop(
+    run: RunConfig,
+    cfg: TrainConfig,
+    progress: Optional[Callable[[dict], None]] = None,
+) -> dict:
+    """Full training run → history dict. Pure-Python driver; all math is in
+    the jitted step."""
+    ds = NpzPatchDataset(run.patch_dir, max_files=run.max_patches)
+    Cc, Ct, H, W = ds.probe_channels()
+
+    schedule = Schedule.cosine(cfg.T) if run.schedule == "cosine" else Schedule.linear(cfg.T)
+    model = UNetSmall(
+        out_ch=Ct,
+        base_ch=run.base_ch,
+        compute_dtype=jnp.bfloat16 if run.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    init_key = jax.random.PRNGKey(run.seed)
+    variables = model.init(
+        init_key, jnp.zeros((1, H, W, Cc + Ct), jnp.float32), jnp.zeros((1,), jnp.int32)
+    )
+    state = create_train_state(variables["params"], cfg)
+
+    mesh = make_mesh_for_batch(run.batch_size,
+                               space=2 if run.spatial_shard else 1)
+    step = shard_train_step(make_train_step(model.apply, schedule, cfg), mesh,
+                            spatial=run.spatial_shard)
+    key = jax.random.PRNGKey(run.seed + 1)
+
+    final_path, last_path, best_path = reference_artifact_paths(run.model_path)
+    best_loss = float("inf")
+    history = {"epoch_loss": [], "steps_per_sec": []}
+
+    for epoch in range(1, run.epochs + 1):
+        running, n_batches = 0.0, 0
+        t0 = time.perf_counter()
+        pending = None  # delayed metric readback: no per-step host sync
+        for batch in batch_iterator(
+            ds, run.batch_size, shuffle=True, drop_last=True,
+            seed=run.seed, epoch=epoch,
+        ):
+            sharded = shard_batch(batch, mesh, spatial=run.spatial_shard)
+            state, metrics = step(state, sharded, key)
+            if pending is not None:
+                v = float(pending["loss"])
+                if np.isfinite(v):
+                    running += v
+                    n_batches += 1
+            pending = metrics
+            if progress and n_batches and n_batches % run.log_every == 0:
+                progress(
+                    {
+                        "epoch": epoch,
+                        "step": int(state.step),
+                        "loss": running / max(1, n_batches),
+                        "skipped": int(state.skipped),
+                    }
+                )
+        if pending is not None:
+            v = float(pending["loss"])
+            if np.isfinite(v):
+                running += v
+                n_batches += 1
+        dt = time.perf_counter() - t0
+        avg_loss = running / max(1, n_batches)
+        history["epoch_loss"].append(avg_loss)
+        history["steps_per_sec"].append(n_batches / max(dt, 1e-9))
+
+        # EMA-weighted last/best/final triple (`Train_Orignal.py:323-336`)
+        save_model(state.ema_params, last_path)
+        if avg_loss < best_loss:
+            best_loss = avg_loss
+            save_model(state.ema_params, best_path)
+        if run.save_state_dir:
+            save_state(state, run.save_state_dir)
+        if progress:
+            progress({"epoch": epoch, "avg_loss": avg_loss,
+                      "skipped": int(state.skipped), "epoch_time_s": dt})
+
+    save_model(state.ema_params, final_path)
+    history["best_loss"] = best_loss
+    history["skipped"] = int(state.skipped)
+    history["final_state"] = state
+    return history
