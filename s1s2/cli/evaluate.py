@@ -28,8 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_files", type=int, default=0, help="0 = ALL files")
     ap.add_argument("--save_viz_n", type=int, default=6)
-    # ddim
-    ap.add_argument("--t_start", type=int, default=200)
+    # ddim (default 200 like the reference; limitation mode defaults to the
+    # full range — pass an explicit value to clamp, or -1 for full range)
+    ap.add_argument("--t_start", type=int, default=None)
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--eta", type=float, default=0.0)
     # sweep
@@ -55,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--zoom_k", type=int, default=0)
     ap.add_argument("--full_metrics", action="store_true",
                     help="add PSNR/SAM/ERGAS columns (Comparison_Original style)")
+    ap.add_argument("--file_list", type=str, default=None,
+                    help="txt with npz filenames (one per line) forcing exact order")
+    ap.add_argument("--viz_mode", choices=["percentile", "dataset_fixed"],
+                    default="percentile")
+    ap.add_argument("--viz_q_low", type=float, default=1.0)
+    ap.add_argument("--viz_q_high", type=float, default=99.0)
     ap.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
     return ap
@@ -63,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from s1s2.eval.harness import EvalConfig, run_mode
+
+    if args.t_start is None:
+        args.t_start = -1 if args.mode == "limitation" else 200
 
     cfg = EvalConfig(
         patch_dir=args.patch_dir,
@@ -96,6 +106,10 @@ def main(argv=None) -> None:
         zoom_k=args.zoom_k,
         full_metrics=args.full_metrics,
         compute_dtype=args.compute_dtype,
+        file_list=args.file_list,
+        viz_mode=args.viz_mode,
+        viz_q_low=args.viz_q_low,
+        viz_q_high=args.viz_q_high,
     )
     result = run_mode(cfg)
     print(json.dumps({str(k): v for k, v in result.items()}, default=float))

@@ -1,0 +1,118 @@
+"""Full-scene inference CLI — tile a large preprocessed scene, run the
+batched DDIM sampler per tile, stitch with feathered blending (capability
+the reference lacks; SURVEY.md §5 spatial-scale axis).
+
+    python -m s1s2.cli.infer_scene --scene cond.npy --ckpt m.msgpack \
+        --out_dir out --pred_param v --t_start 999 --ddim_steps 50
+
+``--scene`` is a (H,W,4) or (4,H,W) .npy of S1 conditioning channels
+(raw values with --normalize, else already Patch.py-normalized).
+"""
+
+import argparse
+import json
+import os
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("s1s2 infer_scene")
+    ap.add_argument("--scene", required=True, help=".npy cond scene")
+    ap.add_argument("--mask", default=None, help="optional (H,W) .npy valid mask")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--out_ch", type=int, default=4)
+    ap.add_argument("--pred_param", choices=["eps", "v"], default="eps")
+    ap.add_argument("--t_start", type=int, default=999)
+    ap.add_argument("--ddim_steps", type=int, default=50)
+    ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--patch_size", type=int, default=256)
+    ap.add_argument("--stride", type=int, default=192)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--normalize", action="store_true",
+                    help="apply Patch.py per-tile normalization to raw S1")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--guidance_scale", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s1s2.core import Parameterization, Schedule
+    from s1s2.eval.scene import infer_scene
+    from s1s2.models import UNetSmall
+    from s1s2.sampling import (
+        ddim_grid_sample,
+        make_cfg_denoise_fn,
+        make_denoise_fn,
+        round_unique_grid,
+    )
+    from s1s2.sampling.samplers import _ddim_linspace_scan
+    from s1s2.viz import save_rgb_triplet
+
+    scene = np.load(args.scene).astype(np.float32)
+    if scene.ndim != 3:
+        raise ValueError("scene must be 3-D")
+    if scene.shape[0] <= 8 and scene.shape[-1] > 8:
+        scene = np.transpose(scene, (1, 2, 0))  # CHW → HWC
+    mask = np.load(args.mask).astype(np.float32) if args.mask else None
+
+    model = UNetSmall(out_ch=args.out_ch, base_ch=args.base_ch)
+    from s1s2.eval.harness import EvalConfig, EvalContext  # reuse ckpt loader
+
+    schedule = Schedule.cosine(args.T)
+    param = Parameterization(args.pred_param)
+
+    # load params via the converter/msgpack path without a dataset
+    if args.ckpt.endswith(".pth"):
+        from s1s2.models.convert import load_pth_checkpoint
+
+        variables = load_pth_checkpoint(args.ckpt)
+    else:
+        from s1s2.train.checkpoint import load_model
+
+        ps = args.patch_size
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, ps, ps, scene.shape[-1] + args.out_ch)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        variables = {"params": load_model(template, args.ckpt)}
+
+    grid = round_unique_grid(args.t_start, args.ddim_steps, args.T)
+    ab = float(schedule.alpha_bar_np()[min(max(args.t_start, 1), args.T - 1)])
+    vscale = float(np.sqrt(1.0 - ab))
+
+    @jax.jit
+    def predict_batch(cond_b, noise_b):
+        if args.guidance_scale is not None:
+            fn = make_cfg_denoise_fn(model.apply, variables, cond_b,
+                                     args.guidance_scale)
+        else:
+            fn = make_denoise_fn(model.apply, variables, cond_b)
+        if param is Parameterization.EPS:
+            return _ddim_linspace_scan(fn, noise_b, schedule, args.t_start,
+                                       args.ddim_steps, (0.0, 1.0))
+        return ddim_grid_sample(fn, noise_b * vscale, jax.random.PRNGKey(args.seed),
+                                schedule, grid, Parameterization.V, eta=args.eta)
+
+    out = infer_scene(
+        predict_batch, scene, args.out_ch, ps=args.patch_size,
+        stride=args.stride, batch_size=args.batch_size, mask_scene=mask,
+        normalize=args.normalize, rng_seed=args.seed,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, "scene_pred.npy"),
+            np.transpose(out, (2, 0, 1)))
+    if args.out_ch >= 4:
+        save_rgb_triplet(out, os.path.join(args.out_dir, "scene_true.png"),
+                         os.path.join(args.out_dir, "scene_cir.png"))
+    print(json.dumps({"out": args.out_dir, "shape": list(out.shape),
+                      "tiles": "feather-stitched"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                     default="bfloat16")
     ap.add_argument("--save_state_dir", type=str, default=None,
                     help="orbax dir for full resume state")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore params+opt+EMA+step from --save_state_dir")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="write a jax.profiler trace of epoch 1")
+    ap.add_argument("--metrics_jsonl", type=str, default=None,
+                    help="append per-epoch metrics to this JSONL file")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize UNet blocks (less memory, ~30% more FLOPs)")
     ap.add_argument("--spatial_shard", action="store_true")
     ap.add_argument("--log_every", type=int, default=50)
     return ap
@@ -93,8 +101,12 @@ def main(argv=None) -> None:
         schedule=args.schedule,
         log_every=args.log_every,
         save_state_dir=args.save_state_dir,
+        resume=args.resume,
         spatial_shard=args.spatial_shard,
         compute_dtype=args.compute_dtype,
+        profile_dir=args.profile_dir,
+        metrics_jsonl=args.metrics_jsonl,
+        remat=args.remat,
     )
 
     def progress(d):

@@ -116,6 +116,12 @@ class EvalConfig:
     zoom_k: int = 0
     full_metrics: bool = False  # add PSNR/SAM/ERGAS columns (Comparison_Original)
     compute_dtype: str = "bfloat16"
+    # exact-order file selection (`Evaluation/Comparison_v_Prediction.py:123-132`)
+    file_list: Optional[str] = None  # txt file, one npz name per line
+    # limitation-mode viz ranges (`Evaluation/Limitation_Test_v_Prediction.py:160-198`)
+    viz_mode: str = "percentile"  # 'percentile' | 'dataset_fixed'
+    viz_q_low: float = 1.0
+    viz_q_high: float = 99.0
 
 
 class EvalContext:
@@ -129,6 +135,13 @@ class EvalContext:
         self.ds = NpzPatchDataset(
             cfg.patch_dir, max_files=cfg.max_files if cfg.max_files > 0 else None
         )
+        if cfg.file_list:
+            with open(cfg.file_list) as f:
+                wanted = [ln.strip() for ln in f if ln.strip()]
+            missing = [w for w in wanted if w not in set(self.ds.files)]
+            if missing:
+                raise FileNotFoundError(f"file_list entries not found: {missing[:5]}")
+            self.ds.files = wanted  # exact forced order
         self.Cc, self.Ct, self.H, self.W = self.ds.probe_channels()
         self.schedule = (
             Schedule.cosine(cfg.T) if cfg.schedule == "cosine" else Schedule.linear(cfg.T)
@@ -754,7 +767,11 @@ def run_limitation(ctx: EvalContext) -> Dict:
                 )
 
         else:
-            K = cfg.T - 1 if cfg.t_start >= cfg.T - 1 else max(1, cfg.t_start)
+            # t_start < 0 means "None" → full range, the reference default
+            # (`Evaluation/Limitation_Test_v_Prediction.py:229-233`)
+            K = (cfg.T - 1
+                 if cfg.t_start < 0 or cfg.t_start >= cfg.T - 1
+                 else max(1, cfg.t_start))
             grid = round_unique_grid(K, cfg.ddim_steps, cfg.T)
             scale = float(np.sqrt(1.0 - ctx.schedule.alpha_bar_np()[K]))
 
@@ -769,6 +786,12 @@ def run_limitation(ctx: EvalContext) -> Dict:
                     fn, x_init, key, ctx.schedule, grid, Parameterization.V,
                     eta=cfg.eta,
                 )
+
+    # dataset-fixed viz ranges (`Limitation_Test_v_Prediction.py:160-180`)
+    viz_lo = viz_hi = None
+    if cfg.viz_mode == "dataset_fixed" and cfg.save_n > 0:
+        gts = [load_patch(ctx.ds.path(i))["target"] for i in range(len(ctx.ds))]
+        viz_lo, viz_hi = V.dataset_fixed_lo_hi(gts, cfg.viz_q_low, cfg.viz_q_high)
 
     saved = 0
     base_key = jax.random.PRNGKey(cfg.seed_base)
@@ -788,7 +811,17 @@ def run_limitation(ctx: EvalContext) -> Dict:
             if saved >= cfg.save_n:
                 break
             stem = f"{cfg.limitation_sampler}_{bi:04d}_{j:02d}"
-            V.save_pred_gt(np.asarray(x0[j]), gt[j], cfg.out_dir, stem)
+            if viz_lo is not None:
+                from PIL import Image
+
+                pt, pc = V.fixed_true_cir(np.asarray(x0[j]), viz_lo, viz_hi)
+                gtt, gtc = V.fixed_true_cir(gt[j], viz_lo, viz_hi)
+                Image.fromarray(V.hstack_compare(pt, gtt)).save(
+                    os.path.join(cfg.out_dir, f"{stem}_compare_true.png"))
+                Image.fromarray(V.hstack_compare(pc, gtc)).save(
+                    os.path.join(cfg.out_dir, f"{stem}_compare_cir.png"))
+            else:
+                V.save_pred_gt(np.asarray(x0[j]), gt[j], cfg.out_dir, stem)
             np.save(os.path.join(cfg.out_dir, f"{stem}_pred.npy"),
                     np.transpose(np.asarray(x0[j]), (2, 0, 1)))
             np.save(os.path.join(cfg.out_dir, f"{stem}_gt.npy"),

@@ -1,0 +1,110 @@
+"""Full-scene tiled inference with feathered overlap blending.
+
+The reference operates strictly on pre-cut 256² patches and NEVER
+reassembles scenes (SURVEY.md §5 "long-context" analog: the scale axis of
+this project is spatial tiling). This module adds the missing capability:
+
+* tile an arbitrarily large preprocessed scene into overlapping ps×ps
+  windows (stride ≤ ps; right/bottom edges get snapped extra windows so
+  every pixel is covered),
+* run any batched patch predictor over the tiles (the fused DDIM samplers —
+  per-tile conditioning rides the normal batch axis),
+* blend overlapping predictions back with a separable Hann feather window,
+  eliminating seam artifacts that hard stitching would produce.
+
+Per-tile normalization mirrors Patch.py semantics when requested
+(z-score HH/HV per tile on the valid mask — `Patch.py:228-229` — so tiles
+see the same statistics distribution the model was trained on).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+
+def tile_coords(H: int, W: int, ps: int, stride: int) -> List[Tuple[int, int]]:
+    """Top-left corners covering the full scene (edge-snapped)."""
+    rows = list(range(0, max(H - ps, 0) + 1, stride))
+    cols = list(range(0, max(W - ps, 0) + 1, stride))
+    if rows[-1] != H - ps:
+        rows.append(H - ps)
+    if cols[-1] != W - ps:
+        cols.append(W - ps)
+    return [(r, c) for r in rows for c in cols]
+
+
+def feather_window(ps: int, power: float = 1.0) -> np.ndarray:
+    """Separable Hann-like blending window, strictly positive."""
+    w1 = 0.5 - 0.5 * np.cos(2.0 * np.pi * (np.arange(ps) + 0.5) / ps)
+    w1 = np.maximum(w1, 1e-3) ** power
+    return (w1[:, None] * w1[None, :]).astype(np.float32)
+
+
+def normalize_tile(cond_tile: np.ndarray, mask_tile: Optional[np.ndarray]) -> np.ndarray:
+    """Patch.py-style per-tile normalization of a raw 4-channel S1 tile:
+    z-score HH/HV on valid pixels, /90 incidence, /1000 elevation,
+    zero-fill invalid (`Patch.py:228-244`)."""
+    from s1s2.data.patchify import zscore
+
+    out = cond_tile.copy()
+    m = mask_tile.astype(bool) if mask_tile is not None else None
+    out[..., 0] = zscore(out[..., 0], m)
+    out[..., 1] = zscore(out[..., 1], m)
+    out[..., 2] = np.nan_to_num(out[..., 2]) / 90.0
+    out[..., 3] = np.nan_to_num(out[..., 3]) / 1000.0
+    if m is not None:
+        out[~m] = 0.0
+    return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def infer_scene(
+    predict_batch: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    cond_scene: np.ndarray,
+    out_ch: int,
+    ps: int = 256,
+    stride: int = 192,
+    batch_size: int = 8,
+    mask_scene: Optional[np.ndarray] = None,
+    normalize: bool = False,
+    rng_seed: int = 0,
+) -> np.ndarray:
+    """Stitched prediction for a whole scene.
+
+    predict_batch(cond (B,ps,ps,Cc), noise (B,ps,ps,out_ch)) -> (B,ps,ps,out_ch)
+    — any jitted sampler closure. ``noise`` is provided per tile
+    (deterministic per tile index) so re-runs are reproducible.
+    """
+    H, W, _ = cond_scene.shape
+    if H < ps or W < ps:
+        raise ValueError(f"scene {H}x{W} smaller than patch size {ps}")
+    coords = tile_coords(H, W, ps, stride)
+    win = feather_window(ps)
+    acc = np.zeros((H, W, out_ch), np.float64)
+    wacc = np.zeros((H, W, 1), np.float64)
+    rng = np.random.default_rng(rng_seed)
+
+    for s in range(0, len(coords), batch_size):
+        chunk = coords[s : s + batch_size]
+        tiles = []
+        for r, c in chunk:
+            t = cond_scene[r : r + ps, c : c + ps].astype(np.float32)
+            if normalize:
+                m = (mask_scene[r : r + ps, c : c + ps]
+                     if mask_scene is not None else None)
+                t = normalize_tile(t, m)
+            tiles.append(t)
+        n_valid = len(tiles)
+        while len(tiles) < batch_size:  # pad to the jit signature
+            tiles.append(tiles[-1])
+        cond_b = np.stack(tiles)
+        noise_b = rng.standard_normal(
+            (batch_size, ps, ps, out_ch)
+        ).astype(np.float32)
+        pred = np.asarray(predict_batch(cond_b, noise_b))
+        for j in range(n_valid):
+            r, c = chunk[j]
+            acc[r : r + ps, c : c + ps] += pred[j] * win[..., None]
+            wacc[r : r + ps, c : c + ps] += win[..., None]
+    return (acc / np.maximum(wacc, 1e-8)).astype(np.float32)

@@ -90,7 +90,18 @@ class UNetSmall(nn.Module):
     out_ch: int
     base_ch: int = 96
     compute_dtype: Any = jnp.bfloat16
-    up_impl: str = "ps"  # 'ps' (matmul+pixel-shuffle) | 'convt' (XLA conv_transpose)
+    # 'convt' (XLA conv_transpose) | 'ps' (matmul+pixel-shuffle, s1s2.ops).
+    # Measured on TPU v5e @256², 50-step DDIM: convt 9.8 patches/s vs ps 9.5
+    # (tools/bench_variants.py) — XLA's transposed-conv lowering wins; 'ps'
+    # is kept as the benchmarked alternative.
+    up_impl: str = "convt"
+    # rematerialize encoder/decoder blocks in the backward pass (trade ~30%
+    # extra FLOPs for activation memory → larger train batches at 256²)
+    remat: bool = False
+
+    def _block(self, features, name):
+        cls = nn.remat(_DoubleConv) if self.remat else _DoubleConv
+        return cls(features, self.compute_dtype, name=name)
 
     def _up(self, features, name):
         if self.up_impl == "ps":
@@ -118,22 +129,22 @@ class UNetSmall(nn.Module):
             nn.Conv(b, (3, 3), padding="SAME", dtype=dt,
                     param_dtype=jnp.float32, name="inc")(x)
         )
-        e2 = nn.max_pool(_DoubleConv(b * 2, dt, name="down1")(e1), (2, 2), (2, 2))
-        e3 = nn.max_pool(_DoubleConv(b * 4, dt, name="down2")(e2), (2, 2), (2, 2))
-        e4 = nn.max_pool(_DoubleConv(b * 8, dt, name="down3")(e3), (2, 2), (2, 2))
+        e2 = nn.max_pool(self._block(b * 2, "down1")(e1), (2, 2), (2, 2))
+        e3 = nn.max_pool(self._block(b * 4, "down2")(e2), (2, 2), (2, 2))
+        e4 = nn.max_pool(self._block(b * 8, "down3")(e3), (2, 2), (2, 2))
 
         # Decoder — transposed conv then double conv over [up ‖ skip]
         # (`Train_Orignal.py:115-124`, forward `:136-147`)
         u3 = self._up(b * 4, "up3")(e4)
-        d3 = _DoubleConv(b * 4, dt, name="conv3")(
+        d3 = self._block(b * 4, "conv3")(
             jnp.concatenate([u3, e3], axis=-1)
         )
         u2 = self._up(b * 2, "up2")(d3)
-        d2 = _DoubleConv(b * 2, dt, name="conv2")(
+        d2 = self._block(b * 2, "conv2")(
             jnp.concatenate([u2, e2], axis=-1)
         )
         u1 = self._up(b, "up1")(d2)
-        d1 = _DoubleConv(b, dt, name="conv1")(
+        d1 = self._block(b, "conv1")(
             jnp.concatenate([u1, e1], axis=-1)
         )
 

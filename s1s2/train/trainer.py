@@ -43,8 +43,12 @@ class RunConfig:
     schedule: str = "cosine"
     log_every: int = 50
     save_state_dir: Optional[str] = None  # orbax resume dir
+    resume: bool = False  # restore params+opt+EMA+step from save_state_dir
     spatial_shard: bool = False
     compute_dtype: str = "bfloat16"
+    profile_dir: Optional[str] = None  # jax.profiler trace of epoch 1
+    metrics_jsonl: Optional[str] = None  # structured metrics sink
+    remat: bool = False  # rematerialize UNet blocks (memory ↔ FLOPs)
 
 
 def train_loop(
@@ -62,12 +66,27 @@ def train_loop(
         out_ch=Ct,
         base_ch=run.base_ch,
         compute_dtype=jnp.bfloat16 if run.compute_dtype == "bfloat16" else jnp.float32,
+        remat=run.remat,
     )
+    mlog = None
+    if run.metrics_jsonl:
+        from s1s2.utils.profiling import MetricsLogger
+
+        mlog = MetricsLogger(run.metrics_jsonl)
     init_key = jax.random.PRNGKey(run.seed)
     variables = model.init(
         init_key, jnp.zeros((1, H, W, Cc + Ct), jnp.float32), jnp.zeros((1,), jnp.int32)
     )
     state = create_train_state(variables["params"], cfg)
+    if run.resume and run.save_state_dir:
+        import os
+
+        from s1s2.train.checkpoint import restore_state
+
+        if os.path.exists(run.save_state_dir):
+            state = restore_state(run.save_state_dir, template=state)
+            if progress:
+                progress({"resumed_at_step": int(state.step)})
 
     mesh = make_mesh_for_batch(run.batch_size,
                                space=2 if run.spatial_shard else 1)
@@ -79,9 +98,13 @@ def train_loop(
     best_loss = float("inf")
     history = {"epoch_loss": [], "steps_per_sec": []}
 
+    from s1s2.utils.profiling import trace_context
+
     for epoch in range(1, run.epochs + 1):
         running, n_batches = 0.0, 0
         t0 = time.perf_counter()
+        profile_ctx = trace_context(run.profile_dir if epoch == 1 else None)
+        profile_ctx.__enter__()
         pending = None  # delayed metric readback: no per-step host sync
         for batch in batch_iterator(
             ds, run.batch_size, shuffle=True, drop_last=True,
@@ -109,6 +132,7 @@ def train_loop(
             if np.isfinite(v):
                 running += v
                 n_batches += 1
+        profile_ctx.__exit__(None, None, None)
         dt = time.perf_counter() - t0
         avg_loss = running / max(1, n_batches)
         history["epoch_loss"].append(avg_loss)
@@ -124,7 +148,12 @@ def train_loop(
         if progress:
             progress({"epoch": epoch, "avg_loss": avg_loss,
                       "skipped": int(state.skipped), "epoch_time_s": dt})
+        if mlog:
+            mlog.log(epoch=epoch, avg_loss=avg_loss, skipped=int(state.skipped),
+                     epoch_time_s=dt, steps_per_sec=history["steps_per_sec"][-1])
 
+    if mlog:
+        mlog.close()
     save_model(state.ema_params, final_path)
     history["best_loss"] = best_loss
     history["skipped"] = int(state.skipped)

@@ -1,0 +1,129 @@
+"""End-to-end reference parity: torch model + torch-formula sampler loop vs
+converted weights + s1s2 fused scan sampler, with IDENTICAL injected noise.
+
+This is the strongest checkpoint-parity statement possible without the
+stripped .pth blobs (SURVEY.md §0): if the real reference checkpoints were
+present, the same code path (convert → ddim_anchored) reproduces the
+reference's published per-file metrics up to float32 accumulation order.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from s1s2.core import Schedule  # noqa: E402
+from s1s2.eval.metrics import masked_mae, masked_mse  # noqa: E402
+from s1s2.models import UNetSmall, torch_state_dict_to_params  # noqa: E402
+from s1s2.sampling import ddim_anchored, make_denoise_fn, one_step_recon  # noqa: E402
+
+from test_model_parity import build_torch_unet  # noqa: E402
+
+T = 100
+IN_CH, OUT_CH, BASE = 4, 4, 6  # 4 cond + 4 target
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(11)
+    tm = build_torch_unet(IN_CH + OUT_CH, OUT_CH, BASE)
+    tm.eval()
+    variables = torch_state_dict_to_params(tm.state_dict())
+    fm = UNetSmall(out_ch=OUT_CH, base_ch=BASE, compute_dtype=jnp.float32)
+    return tm, fm, variables
+
+
+def torch_schedule(T):
+    import math
+
+    t = torch.linspace(0, T, T + 1, dtype=torch.float64)
+    f = torch.cos(((t / T + 0.008) / 1.008) * math.pi / 2) ** 2
+    ab = f / f[0]
+    betas = torch.clip(1 - ab[1:] / ab[:-1], 1e-5, 0.999).float()
+    return torch.cumprod(1 - betas, dim=0)
+
+
+def torch_ddim_anchored(tm, x_gt, x_cond, alpha_bar, noise, t_start, steps):
+    """Reference GT-anchored DDIM loop in torch
+    (`Evaluation/DDIM_Multi-step.py:116-134`)."""
+    t_start = max(1, min(t_start, len(alpha_bar) - 1))
+    a_t = alpha_bar[t_start]
+    x_t = torch.sqrt(a_t) * x_gt + torch.sqrt(1 - a_t) * noise
+    ts = torch.linspace(t_start, 0, steps + 1, dtype=torch.long)
+    x0 = None
+    with torch.no_grad():
+        for i in range(steps):
+            a_cur = alpha_bar[ts[i]]
+            a_next = alpha_bar[ts[i + 1]]
+            eps = tm(torch.cat([x_t, x_cond], dim=1), ts[i].view(1))
+            x0 = (x_t - torch.sqrt(1 - a_cur) * eps) / torch.sqrt(a_cur + 1e-8)
+            x_t = torch.sqrt(a_next) * x0 + torch.sqrt(1 - a_next) * eps
+    return torch.clamp(x0, 0, 1)
+
+
+class TestEndToEndParity:
+    def test_ddim_anchored_matches_torch(self, models, rng):
+        tm, fm, variables = models
+        H = W = 16
+        x_gt = rng.uniform(0, 1, (1, OUT_CH, H, W)).astype(np.float32)
+        x_cond = rng.standard_normal((1, IN_CH, H, W)).astype(np.float32)
+        noise = rng.standard_normal((1, OUT_CH, H, W)).astype(np.float32)
+
+        ab = torch_schedule(T)
+        ref = torch_ddim_anchored(
+            tm, torch.from_numpy(x_gt), torch.from_numpy(x_cond), ab,
+            torch.from_numpy(noise), t_start=60, steps=8,
+        ).numpy()
+
+        sched = Schedule.cosine(T)
+        fn = make_denoise_fn(
+            fm.apply, variables, jnp.asarray(np.transpose(x_cond, (0, 2, 3, 1)))
+        )
+        got = ddim_anchored(
+            fn, jnp.asarray(np.transpose(x_gt, (0, 2, 3, 1))),
+            None, sched, t_start=60, steps=8,
+            noise=jnp.asarray(np.transpose(noise, (0, 2, 3, 1))),
+        )
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_onestep_metrics_match_torch(self, models, rng):
+        """Per-file MAE/MSE after one-step recon match the reference numbers."""
+        tm, fm, variables = models
+        H = W = 16
+        x_gt = rng.uniform(0, 1, (1, OUT_CH, H, W)).astype(np.float32)
+        x_cond = rng.standard_normal((1, IN_CH, H, W)).astype(np.float32)
+        noise = rng.standard_normal((1, OUT_CH, H, W)).astype(np.float32)
+        mask = (rng.uniform(0, 1, (1, H, W)) > 0.25).astype(np.float32)
+        t_small = 20
+
+        ab = torch_schedule(T)
+        a_t = ab[t_small]
+        with torch.no_grad():
+            x_t = torch.sqrt(a_t) * torch.from_numpy(x_gt) + torch.sqrt(
+                1 - a_t
+            ) * torch.from_numpy(noise)
+            eps = tm(torch.cat([x_t, torch.from_numpy(x_cond)], dim=1),
+                     torch.tensor([t_small]))
+            x0 = torch.clamp(
+                (x_t - torch.sqrt(1 - a_t) * eps) / torch.sqrt(a_t + 1e-8), 0, 1
+            )
+        w = torch.from_numpy(mask).unsqueeze(1)
+        num = (w * (x0 - torch.from_numpy(x_gt)).abs()).sum()
+        ref_mae = (num / (w.sum() * OUT_CH + 1e-8)).item()
+
+        sched = Schedule.cosine(T)
+        fn = make_denoise_fn(
+            fm.apply, variables, jnp.asarray(np.transpose(x_cond, (0, 2, 3, 1)))
+        )
+        got_x0 = one_step_recon(
+            fn, jnp.asarray(np.transpose(x_gt, (0, 2, 3, 1))), None, sched,
+            t_small=t_small, noise=jnp.asarray(np.transpose(noise, (0, 2, 3, 1))),
+        )
+        got_mae = float(
+            masked_mae(got_x0, jnp.asarray(np.transpose(x_gt, (0, 2, 3, 1))),
+                       jnp.asarray(mask))
+        )
+        assert got_mae == pytest.approx(ref_mae, rel=1e-4)

@@ -1,0 +1,67 @@
+"""Resume-from-checkpoint and file_list-forced eval ordering."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from s1s2.data.synthetic import make_synthetic_patches
+
+
+@pytest.fixture(scope="module")
+def patch_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("patches")
+    make_synthetic_patches(str(d), n=4, size=16, seed=5)
+    return str(d)
+
+
+def test_train_resume_continues_step_count(patch_dir, tmp_path):
+    from s1s2.cli.train import main as train_main
+
+    model_path = str(tmp_path / "m.msgpack")
+    state_dir = str(tmp_path / "state")
+    common = [
+        "--patch_dir", patch_dir, "--model_path", model_path,
+        "--T", "10", "--batch_size", "2", "--base_ch", "4",
+        "--compute_dtype", "float32", "--save_state_dir", state_dir,
+    ]
+    train_main(common + ["--epochs", "1"])
+    # 4 files / bs 2 = 2 steps per epoch
+    lines = []
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train_main(common + ["--epochs", "1", "--resume"])
+    lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    assert any(d.get("resumed_at_step") == 2 for d in lines), lines
+
+
+def test_eval_file_list_forces_order(patch_dir, tmp_path):
+    from s1s2.cli.evaluate import main as eval_main
+
+    fl = tmp_path / "files.txt"
+    fl.write_text("patch_000002.npz\npatch_000000.npz\n")
+    eval_main([
+        "--mode", "baseline_bicubic", "--patch_dir", patch_dir,
+        "--out_dir", str(tmp_path), "--batch_size", "2",
+        "--file_list", str(fl),
+    ])
+    rows = (tmp_path / "baseline_bicubic_metrics.csv").read_text().strip().splitlines()
+    assert len(rows) == 3
+    assert rows[1].startswith("patch_000002.npz")
+    assert rows[2].startswith("patch_000000.npz")
+
+
+def test_eval_file_list_missing_entry_raises(patch_dir, tmp_path):
+    from s1s2.cli.evaluate import main as eval_main
+
+    fl = tmp_path / "files.txt"
+    fl.write_text("nope.npz\n")
+    with pytest.raises(FileNotFoundError):
+        eval_main([
+            "--mode", "baseline_bicubic", "--patch_dir", patch_dir,
+            "--out_dir", str(tmp_path), "--file_list", str(fl),
+        ])
