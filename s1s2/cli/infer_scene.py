@@ -60,8 +60,6 @@ def main(argv=None) -> None:
     mask = np.load(args.mask).astype(np.float32) if args.mask else None
 
     model = UNetSmall(out_ch=args.out_ch, base_ch=args.base_ch)
-    from s1s2.eval.harness import EvalConfig, EvalContext  # reuse ckpt loader
-
     schedule = Schedule.cosine(args.T)
     param = Parameterization(args.pred_param)
 

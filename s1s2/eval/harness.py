@@ -58,7 +58,6 @@ from s1s2.eval.baselines import baseline_bicubic, baseline_linear_fit_predict
 from s1s2.models.unet import UNetSmall
 from s1s2.sampling import (
     ddim_anchored,
-    ddim_generate,
     ddim_grid_sample,
     ddpm_ancestral,
     full_range_grid,
@@ -68,7 +67,6 @@ from s1s2.sampling import (
     partial_ddim_from_gt,
     round_unique_grid,
 )
-from s1s2.sampling.samplers import scaled_noise_init
 from s1s2.viz import render as V
 
 

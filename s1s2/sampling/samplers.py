@@ -23,7 +23,6 @@ RNG: explicit keys; per-step noise keys are pre-split and fed as scan xs.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -36,7 +35,7 @@ from s1s2.core.parametrize import (
     q_sample,
 )
 from s1s2.core.schedule import Schedule
-from s1s2.sampling.grids import clamp_t, linspace_grid, round_unique_grid
+from s1s2.sampling.grids import clamp_t, linspace_grid
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 

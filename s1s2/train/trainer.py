@@ -26,7 +26,7 @@ from s1s2.data.loader import batch_iterator
 from s1s2.models.unet import UNetSmall
 from s1s2.parallel import make_mesh_for_batch, shard_batch, shard_train_step
 from s1s2.train.checkpoint import reference_artifact_paths, save_model, save_state
-from s1s2.train.loop import TrainConfig, TrainState, create_train_state, make_train_step
+from s1s2.train.loop import TrainConfig, create_train_state, make_train_step
 
 
 @dataclasses.dataclass

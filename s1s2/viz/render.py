@@ -15,7 +15,7 @@ All inputs are channels-last numpy (H, W, C); band order [B2, B3, B4, B8].
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw

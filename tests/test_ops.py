@@ -41,6 +41,31 @@ class TestPixelShuffleUp:
         )
 
 
+class TestPallasConv3x3:
+    @pytest.mark.parametrize("B,H,W,Ci,Co,TH", [
+        (1, 8, 8, 4, 4, 8),
+        (3, 32, 16, 8, 5, 8),
+        (2, 16, 8, 6, 7, 4),
+    ])
+    def test_matches_xla_conv(self, rng, B, H, W, Ci, Co, TH):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from s1s2.ops.conv3x3 import conv3x3_relu
+
+        x = jnp.asarray(rng.standard_normal((B, H, W, Ci)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.standard_normal(Co).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = conv3x3_relu(x, w, b, tile_rows=TH)
+        ref = jax.nn.relu(
+            jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 class TestFusedDDIMUpdate:
     def test_matches_jnp(self, rng):
         """Pallas kernel vs plain jnp (interpreter mode on CPU)."""
