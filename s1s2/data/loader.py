@@ -94,14 +94,32 @@ def eval_batches(
     ds: NpzPatchDataset,
     batch_size: int,
     max_files: Optional[int] = None,
+    prefetch: bool = True,
 ) -> Iterator[Tuple[Batch, list, int]]:
     """Deterministic, ordered batches for evaluation; the last batch is
     PADDED to full size (repeat of last item) so one jit signature serves the
-    whole sweep — yields (batch, file_names, n_valid)."""
+    whole sweep — yields (batch, file_names, n_valid). One batch of npz
+    decompression is prefetched on a worker thread while the device runs."""
     n = len(ds) if not max_files else min(len(ds), max_files)
-    for s in range(0, n, batch_size):
+
+    def make(s):
         idxs = list(range(s, min(s + batch_size, n)))
         n_valid = len(idxs)
         while len(idxs) < batch_size:
             idxs.append(idxs[-1])
-        yield _assemble(ds, idxs), [ds.files[i] for i in idxs[:n_valid]], n_valid
+        return _assemble(ds, idxs), [ds.files[i] for i in idxs[:n_valid]], n_valid
+
+    starts = list(range(0, n, batch_size))
+    if not prefetch or len(starts) <= 1:
+        for s in starts:
+            yield make(s)
+        return
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(make, starts[0])
+        for s_next in starts[1:] + [None]:
+            item = fut.result()
+            if s_next is not None:
+                fut = ex.submit(make, s_next)
+            yield item
