@@ -119,12 +119,16 @@ def train_loop(
                     n_batches += 1
             pending = metrics
             if progress and n_batches and n_batches % run.log_every == 0:
+                ch = np.asarray(pending["ch_losses"])  # reference tqdm shows ch0..3
                 progress(
                     {
                         "epoch": epoch,
                         "step": int(state.step),
                         "loss": running / max(1, n_batches),
+                        "p2": float(pending["p2_w"]),
                         "skipped": int(state.skipped),
+                        **{f"ch{i}": round(float(v), 6) for i, v in
+                           enumerate(ch[:4])},
                     }
                 )
         if pending is not None:

@@ -13,54 +13,12 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-import torch.nn as tnn  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
 from s1s2.models import UNetSmall, torch_state_dict_to_params  # noqa: E402
+from s1s2.models.torch_twin import build_torch_unet  # noqa: E402
 from s1s2.models.convert import infer_arch_from_state_dict, unwrap_state_dict  # noqa: E402
-
-
-def build_torch_unet(in_ch: int, out_ch: int, base_ch: int) -> tnn.Module:
-    """Torch twin with the reference's state_dict key layout (built here only
-    to generate test fixtures — the framework itself never uses torch)."""
-
-    def block(cin, cout):
-        return tnn.Sequential(
-            tnn.Conv2d(cin, cout, 3, padding=1), tnn.ReLU(),
-            tnn.Conv2d(cout, cout, 3, padding=1), tnn.ReLU(),
-        )
-
-    class TorchUNet(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            b = base_ch
-            self.inc = tnn.Sequential(tnn.Conv2d(in_ch + 1, b, 3, padding=1), tnn.ReLU())
-            self.down1 = tnn.Sequential(block(b, b * 2), tnn.MaxPool2d(2))
-            self.down2 = tnn.Sequential(block(b * 2, b * 4), tnn.MaxPool2d(2))
-            self.down3 = tnn.Sequential(block(b * 4, b * 8), tnn.MaxPool2d(2))
-            self.up3 = tnn.ConvTranspose2d(b * 8, b * 4, 2, stride=2)
-            self.conv3 = block(b * 8, b * 4)
-            self.up2 = tnn.ConvTranspose2d(b * 4, b * 2, 2, stride=2)
-            self.conv2 = block(b * 4, b * 2)
-            self.up1 = tnn.ConvTranspose2d(b * 2, b, 2, stride=2)
-            self.conv1 = block(b * 2, b)
-            self.outc = tnn.Conv2d(b, out_ch, 1)
-
-        def forward(self, x, t):
-            B, _, H, W = x.shape
-            tm = t.view(B, 1, 1, 1).float().expand(B, 1, H, W)
-            h = torch.cat([x, tm], dim=1)
-            e1 = self.inc(h)
-            e2 = self.down1(e1)
-            e3 = self.down2(e2)
-            e4 = self.down3(e3)
-            d3 = self.conv3(torch.cat([self.up3(e4), e3], dim=1))
-            d2 = self.conv2(torch.cat([self.up2(d3), e2], dim=1))
-            d1 = self.conv1(torch.cat([self.up1(d2), e1], dim=1))
-            return self.outc(d1)
-
-    return TorchUNet()
 
 
 IN_CH, OUT_CH, BASE = 8, 4, 6  # tiny but structurally identical
