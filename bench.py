@@ -18,7 +18,7 @@ def main() -> None:
     from s1s2.models import UNetSmall
     from s1s2.sampling import ddim_anchored, make_denoise_fn
 
-    B, H, W, CC, CT = 32, 256, 256, 4, 4
+    B, H, W, CC, CT = 64, 256, 256, 4, 4
     STEPS, T_START = 50, 999
 
     model = UNetSmall(out_ch=CT, base_ch=96, compute_dtype=jnp.bfloat16)
