@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--t_start", type=int, default=None)
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--solver", choices=["ddim", "dpm2m"], default="ddim",
+                    help="dpm2m = 2nd-order multistep (s1s2 extension; "
+                         "fewer steps for equal quality)")
     # sweep
     ap.add_argument("--t_start_grid", type=str, default="")
     ap.add_argument("--ddim_steps_grid", type=str, default="")
@@ -89,6 +92,7 @@ def main(argv=None) -> None:
         t_start=args.t_start,
         ddim_steps=args.ddim_steps,
         eta=args.eta,
+        solver=args.solver,
         t_start_grid=tuple(int(x) for x in args.t_start_grid.split(",") if x),
         ddim_steps_grid=tuple(int(x) for x in args.ddim_steps_grid.split(",") if x),
         t_small=args.t_small,

@@ -45,6 +45,7 @@ def make_synthetic_patches(
     c_tgt: int = 4,
     seed: int = 0,
     mask_holes: bool = True,
+    with_cloud: bool = False,
 ) -> list:
     """Write ``n`` synthetic patch npz files; target bands are deterministic
     functions of the cond bands (so models CAN learn the mapping)."""
@@ -61,12 +62,20 @@ def make_synthetic_patches(
         if mask_holes and i % 2 == 0:
             r0, c0 = rng.integers(0, size // 2, 2)
             mask[r0 : r0 + size // 4, c0 : c0 + size // 4] = 0
+        extra = {}
+        if with_cloud:
+            # increasing cloud fraction with file index (cloudy_viz ranking,
+            # `Evaluation/Comparison_Original.py:271-278` key contract)
+            cloud = (_smooth_field(rng, size, size) > (1.0 - i / max(n - 1, 1))
+                     ).astype(np.float32)
+            extra["cloud_mask"] = cloud
         path = os.path.join(out_dir, f"patch_{i:06d}.npz")
         np.savez_compressed(
             path,
             inputs=cond,
             target=tgt,
             mask=mask,
+            **extra,
             folder="synthetic",
             row=0,
             col=0,

@@ -108,6 +108,9 @@ class EvalConfig:
     # CFG
     guidance_scale: Optional[float] = None
     guidance_scales: Tuple[float, ...] = ()
+    # solver: 'ddim' (reference) | 'dpm2m' (s1s2 extension, 2nd-order
+    # multistep — same quality in fewer steps; sampling/dpm_solver.py)
+    solver: str = "ddim"
     # viz / cloud
     select_top_cloud: int = 12
     zoom: int = 0
@@ -299,6 +302,28 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
     cfg = ctx.cfg
     t_start = cfg.t_start if t_start is None else t_start
     steps = cfg.ddim_steps if steps is None else steps
+
+    if cfg.solver == "dpm2m":
+        from s1s2.core.parametrize import q_sample
+        from s1s2.sampling.dpm_solver import dpm_solver_2m
+
+        grid = round_unique_grid(t_start, steps, cfg.T)
+        K = int(grid[-1])
+
+        @jax.jit
+        def sample(cond, gt, noise):
+            fn = ctx.denoise_fn(cond)
+            if ctx.param is Parameterization.EPS:
+                B = gt.shape[0]
+                t = jnp.full((B,), K, jnp.int32)
+                x_init = q_sample(gt, noise, ctx.schedule.sqrt_alpha_bar[t],
+                                  ctx.schedule.sqrt_one_minus_alpha_bar[t])
+            else:
+                ab = float(ctx.schedule.alpha_bar_np()[K])
+                x_init = noise * float(np.sqrt(1.0 - ab))
+            return dpm_solver_2m(fn, x_init, ctx.schedule, grid, ctx.param)
+
+        return sample
 
     if ctx.param is Parameterization.EPS:
 
@@ -624,7 +649,23 @@ def run_true_infer(ctx: EvalContext) -> Dict:
     cfg = ctx.cfg
     psnr_v, sam_v, ergas_v = _vmapped(M.psnr), _vmapped(M.sam), _vmapped(M.ergas)
 
-    if ctx.param is Parameterization.EPS:
+    if cfg.solver == "dpm2m":
+        from s1s2.sampling.dpm_solver import dpm_solver_2m
+
+        grid = round_unique_grid(cfg.t_start, cfg.ddim_steps, cfg.T)
+        if ctx.param is Parameterization.EPS:
+            init_scale = 1.0
+        else:
+            K = min(max(cfg.t_start, 1), cfg.T - 1)
+            init_scale = float(np.sqrt(1.0 - ctx.schedule.alpha_bar_np()[K]))
+
+        @jax.jit
+        def generate(cond, noise):
+            fn = ctx.denoise_fn(cond)
+            return dpm_solver_2m(fn, noise * init_scale, ctx.schedule, grid,
+                                 ctx.param)
+
+    elif ctx.param is Parameterization.EPS:
 
         @jax.jit
         def generate(cond, noise):

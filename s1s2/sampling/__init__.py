@@ -5,6 +5,7 @@ from s1s2.sampling.grids import (
     round_unique_grid,
     full_range_grid,
 )
+from s1s2.sampling.dpm_solver import dpm_solver_2m
 from s1s2.sampling.samplers import (
     SamplerConfig,
     ddim_anchored,
@@ -18,6 +19,7 @@ from s1s2.sampling.samplers import (
 )
 
 __all__ = [
+    "dpm_solver_2m",
     "linspace_grid",
     "round_unique_grid",
     "full_range_grid",
