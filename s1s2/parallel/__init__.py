@@ -3,7 +3,6 @@
 from s1s2.parallel.mesh import (
     make_mesh,
     make_mesh_for_batch,
-    batch_sharding,
     replicated,
     shard_batch,
     shard_train_step,
@@ -13,7 +12,6 @@ from s1s2.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "make_mesh_for_batch",
-    "batch_sharding",
     "replicated",
     "shard_batch",
     "shard_train_step",

@@ -61,16 +61,6 @@ def make_mesh_for_batch(batch_size: int, space: int = 1,
     return make_mesh(data=data, space=space, devices=devices[: data * space])
 
 
-def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None) -> NamedSharding:
-    """Sharding for (B, H, W, C) batches: B over 'data', optionally H over
-    'space'."""
-    spec = [None, None, None, None]
-    spec[0] = "data"
-    if spatial_axis is not None and mesh.shape.get("space", 1) > 1:
-        spec[spatial_axis] = "space"
-    return NamedSharding(mesh, P(*spec))
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -7,7 +7,6 @@ from s1s2.sampling.grids import (
 )
 from s1s2.sampling.dpm_solver import dpm_solver_2m
 from s1s2.sampling.samplers import (
-    SamplerConfig,
     ddim_anchored,
     ddim_generate,
     ddim_grid_sample,
@@ -23,7 +22,6 @@ __all__ = [
     "linspace_grid",
     "round_unique_grid",
     "full_range_grid",
-    "SamplerConfig",
     "ddim_anchored",
     "ddim_generate",
     "ddim_grid_sample",

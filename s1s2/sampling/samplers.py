@@ -22,7 +22,6 @@ RNG: explicit keys; per-step noise keys are pre-split and fed as scan xs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -79,17 +78,6 @@ def make_cfg_denoise_fn(
         return pu + g * (pc - pu)
 
     return fn
-
-
-@dataclasses.dataclass(frozen=True)
-class SamplerConfig:
-    """Static sampler settings (hashable → usable as jit static arg)."""
-
-    t_start: int = 200
-    steps: int = 20
-    eta: float = 0.0
-    param: Parameterization = Parameterization.EPS
-    clip: Tuple[float, float] = (0.0, 1.0)
 
 
 def _coef(schedule: Schedule, idx: np.ndarray) -> np.ndarray:
