@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append per-epoch metrics to this JSONL file")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize UNet blocks (less memory, ~30% more FLOPs)")
+    ap.add_argument("--cache_dir", type=str, default=None,
+                    help="decompress the npz dataset ONCE into mmap'd .npy "
+                         "files here; later epochs read zero-copy")
     ap.add_argument("--spatial_shard", action="store_true")
     ap.add_argument("--log_every", type=int, default=50)
     return ap
@@ -107,6 +110,7 @@ def main(argv=None) -> None:
         profile_dir=args.profile_dir,
         metrics_jsonl=args.metrics_jsonl,
         remat=args.remat,
+        cache_dir=args.cache_dir,
     )
 
     def progress(d):

@@ -20,7 +20,71 @@ from s1s2.data.dataset import NpzPatchDataset
 Batch = Tuple[np.ndarray, np.ndarray, np.ndarray]  # cond, target, mask
 
 
-def _assemble(ds: NpzPatchDataset, idxs) -> Batch:
+class MmapCache:
+    """Decompress-once epoch cache: materializes the whole dataset into three
+    contiguous ``.npy`` files (cond/target/mask, NHWC) and serves batches by
+    memory-mapped fancy indexing — zero zlib work after the first pass.
+
+    The reference pays npz inflation on EVERY access through its DataLoader
+    workers (`Train_Orignal.py:258`); on this host that dominates epoch time
+    (~60 ms/patch vs ~7 ms/patch compute at batch 16). Enable with
+    ``train --cache``.
+    """
+
+    def __init__(self, ds: NpzPatchDataset, cache_dir: str):
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        self.files = list(ds.files)
+        stamp = os.path.join(cache_dir, "cache_manifest.json")
+        paths = {k: os.path.join(cache_dir, f"{k}.npy")
+                 for k in ("cond", "target", "mask")}
+        import json
+
+        want = {"files": self.files}
+        have = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                have = json.load(f)
+        if have != want or not all(os.path.exists(p) for p in paths.values()):
+            first = ds[0]
+            H, W, Cc = first["cond"].shape
+            Ct = first["target"].shape[-1]
+            n = len(ds)
+            cond = np.lib.format.open_memmap(
+                paths["cond"], mode="w+", dtype=np.float32, shape=(n, H, W, Cc))
+            tgt = np.lib.format.open_memmap(
+                paths["target"], mode="w+", dtype=np.float32, shape=(n, H, W, Ct))
+            mask = np.lib.format.open_memmap(
+                paths["mask"], mode="w+", dtype=np.float32, shape=(n, H, W))
+            for i in range(n):
+                d = ds[i]
+                cond[i] = d["cond"]
+                tgt[i] = d["target"]
+                mask[i] = (d["mask"] if d["mask"] is not None
+                           else np.ones((H, W), np.float32))
+            del cond, tgt, mask  # flush
+            with open(stamp, "w") as f:
+                json.dump(want, f)
+        self._cond = np.load(paths["cond"], mmap_mode="r")
+        self._target = np.load(paths["target"], mmap_mode="r")
+        self._mask = np.load(paths["mask"], mmap_mode="r")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def batch(self, idxs) -> Batch:
+        idxs = np.asarray(idxs)
+        return (
+            np.ascontiguousarray(self._cond[idxs]),
+            np.ascontiguousarray(self._target[idxs]),
+            np.ascontiguousarray(self._mask[idxs]),
+        )
+
+
+def _assemble(ds, idxs) -> Batch:
+    if hasattr(ds, "batch"):  # MmapCache fast path
+        return ds.batch(idxs)
     conds, tgts, masks = [], [], []
     for i in idxs:
         d = ds[int(i)]

@@ -49,6 +49,7 @@ class RunConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 1
     metrics_jsonl: Optional[str] = None  # structured metrics sink
     remat: bool = False  # rematerialize UNet blocks (memory ↔ FLOPs)
+    cache_dir: Optional[str] = None  # MmapCache dir (decompress npz once)
 
 
 def train_loop(
@@ -60,6 +61,10 @@ def train_loop(
     the jitted step."""
     ds = NpzPatchDataset(run.patch_dir, max_files=run.max_patches)
     Cc, Ct, H, W = ds.probe_channels()
+    if run.cache_dir:
+        from s1s2.data.loader import MmapCache
+
+        ds = MmapCache(ds, run.cache_dir)
 
     schedule = Schedule.cosine(cfg.T) if run.schedule == "cosine" else Schedule.linear(cfg.T)
     model = UNetSmall(
