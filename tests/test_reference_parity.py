@@ -63,6 +63,31 @@ def torch_ddim_anchored(tm, x_gt, x_cond, alpha_bar, noise, t_start, steps):
     return torch.clamp(x0, 0, 1)
 
 
+def torch_ddim_v_grid(tm, x_init, x_cond, alpha_bar, t_start, steps):
+    """Reference pure-noise v-DDIM loop
+    (`Evaluation/DDIM_Multi-step_v_Prediction.py:137-175`), η=0."""
+    grid = torch.unique(
+        torch.round(torch.linspace(0, t_start, steps)).to(torch.long), sorted=True
+    )
+    if grid[-1].item() != t_start:
+        grid = torch.unique(torch.cat([grid, torch.tensor([t_start])]), sorted=True)
+    x_t = x_init.clone()
+    with torch.no_grad():
+        for i in reversed(range(len(grid))):
+            t = int(grid[i])
+            a = alpha_bar[t]
+            sab, s1m = torch.sqrt(a), torch.sqrt(1 - a)
+            v = tm(torch.cat([x_t, x_cond], dim=1), torch.tensor([t]))
+            x0 = sab * x_t - s1m * v
+            eps = s1m * x_t + sab * v
+            if i == 0:
+                x_t = x0
+            else:
+                a_prev = alpha_bar[int(grid[i - 1])]
+                x_t = torch.sqrt(a_prev) * x0 + torch.sqrt(1 - a_prev) * eps
+    return torch.clamp(x_t, 0, 1)
+
+
 class TestEndToEndParity:
     def test_ddim_anchored_matches_torch(self, models, rng):
         tm, fm, variables = models
@@ -85,6 +110,39 @@ class TestEndToEndParity:
             fn, jnp.asarray(np.transpose(x_gt, (0, 2, 3, 1))),
             None, sched, t_start=60, steps=8,
             noise=jnp.asarray(np.transpose(noise, (0, 2, 3, 1))),
+        )
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_ddim_v_grid_matches_torch(self, models, rng):
+        """Round-unique-grid v sampler (η=0) vs the torch reference loop,
+        identical scaled-noise init."""
+        from s1s2.core import Parameterization
+        from s1s2.sampling import ddim_grid_sample, round_unique_grid
+
+        tm, fm, variables = models
+        H = W = 16
+        t_start, steps = 60, 7
+        x_cond = rng.standard_normal((1, IN_CH, H, W)).astype(np.float32)
+        noise = rng.standard_normal((1, OUT_CH, H, W)).astype(np.float32)
+
+        ab = torch_schedule(T)
+        x_init = torch.from_numpy(noise) * torch.sqrt(1 - ab[t_start])
+        ref = torch_ddim_v_grid(
+            tm, x_init, torch.from_numpy(x_cond), ab, t_start, steps
+        ).numpy()
+
+        sched = Schedule.cosine(T)
+        grid = round_unique_grid(t_start, steps, T)
+        fn = make_denoise_fn(
+            fm.apply, variables, jnp.asarray(np.transpose(x_cond, (0, 2, 3, 1)))
+        )
+        x_init_j = jnp.asarray(np.transpose(x_init.numpy(), (0, 2, 3, 1)))
+        import jax
+
+        got = ddim_grid_sample(
+            fn, x_init_j, jax.random.PRNGKey(0), sched, grid,
+            Parameterization.V, eta=0.0,
         )
         got = np.transpose(np.asarray(got), (0, 3, 1, 2))
         np.testing.assert_allclose(got, ref, atol=2e-4)
