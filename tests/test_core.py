@@ -130,6 +130,14 @@ class TestParametrize:
         x0r = x0_from_eps(xt, eps, sab, s1m)
         np.testing.assert_allclose(np.asarray(x0r), x0, atol=1e-4)
 
+    def test_eps_from_x0_inverse(self, batch):
+        from s1s2.core import eps_from_x0
+
+        x0, eps, sab, s1m = batch
+        xt = q_sample(x0, eps, sab, s1m)
+        epsr = eps_from_x0(xt, x0, sab, s1m)
+        np.testing.assert_allclose(np.asarray(epsr), eps, atol=1e-4)
+
     def test_snr_p2(self):
         s = Schedule.cosine(1000)
         ab = s.alpha_bar[jnp.array([10, 500, 990])]

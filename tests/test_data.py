@@ -57,6 +57,13 @@ class TestLoader:
         a2 = np.concatenate([b[1] for b in batch_iterator(ds, 2, epoch=0, prefetch=False)])
         np.testing.assert_array_equal(a, a2)  # deterministic per epoch
 
+    def test_eval_batches_batch_larger_than_dataset(self, patch_dir):
+        ds = NpzPatchDataset(patch_dir)  # 7 files
+        chunks = list(eval_batches(ds, 16))
+        assert len(chunks) == 1
+        (cond, _, _), names, n_valid = chunks[0]
+        assert cond.shape[0] == 16 and n_valid == 7 and len(names) == 7
+
     def test_eval_batches_padding(self, patch_dir):
         ds = NpzPatchDataset(patch_dir)
         chunks = list(eval_batches(ds, 4))
