@@ -33,7 +33,15 @@ def save_model(params: Any, path: str) -> None:
 
 def load_model(template: Any, path: str) -> Any:
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} does not match the model architecture "
+            "(check --base_ch and the dataset's channel counts); "
+            f"underlying error: {e}"
+        ) from e
 
 
 def load_any_checkpoint(path: str, template: Optional[Any] = None):

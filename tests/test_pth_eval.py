@@ -50,3 +50,38 @@ def test_eval_loads_pth_directly(setup, tmp_path, which):
     assert len(rows) == 5
     mae = float(rows[1].split(",")[3])
     assert np.isfinite(mae) and 0 <= mae <= 1
+
+
+def test_eps_diag_mode(setup, tmp_path):
+    """eps diagnostics mode (`Evaluation/DDIM_Multi-step.py --mode eps`)."""
+    patch_dir, pth, _ = setup
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "eps", "--patch_dir", patch_dir, "--ckpt", pth,
+        "--out_dir", str(tmp_path), "--T", "20", "--base_ch", "4",
+        "--pred_param", "eps", "--batch_size", "2", "--t_small", "3",
+        "--compute_dtype", "float32",
+    ])
+    rows = (tmp_path / "eps_diag.csv").read_text().strip().splitlines()
+    assert rows[0] == "file,t_small,eps_MSE,cosine"
+    assert len(rows) == 5
+    assert "eps_MSE mean/std" in (tmp_path / "eps_summary.txt").read_text()
+
+
+def test_unified_dispatcher(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "s1s2", "--help"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"},
+    )
+    assert "commands:" in out.stdout and "evaluate" in out.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "s1s2", "nope"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"},
+    )
+    assert bad.returncode == 2
