@@ -34,6 +34,7 @@ def main(argv=None) -> None:
                     help="apply Patch.py per-tile normalization to raw S1")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--guidance_scale", type=float, default=None)
+    ap.add_argument("--solver", choices=["ddim", "dpm2m"], default="ddim")
     args = ap.parse_args(argv)
 
     import jax
@@ -90,6 +91,11 @@ def main(argv=None) -> None:
                                      args.guidance_scale)
         else:
             fn = make_denoise_fn(model.apply, variables, cond_b)
+        if args.solver == "dpm2m":
+            from s1s2.sampling import dpm_solver_2m
+
+            x_init = noise_b if param is Parameterization.EPS else noise_b * vscale
+            return dpm_solver_2m(fn, x_init, schedule, grid, param)
         if param is Parameterization.EPS:
             return _ddim_linspace_scan(fn, noise_b, schedule, args.t_start,
                                        args.ddim_steps, (0.0, 1.0))
