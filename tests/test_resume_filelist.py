@@ -39,6 +39,20 @@ def test_train_resume_continues_step_count(patch_dir, tmp_path):
     assert any(d.get("resumed_at_step") == 2 for d in lines), lines
 
 
+def test_train_spatial_shard_cli(patch_dir, tmp_path):
+    """--spatial_shard trains over the ('data','space') mesh (4x2 on the
+    8-device virtual CPU mesh; XLA inserts conv halo exchanges)."""
+    from s1s2.cli.train import main as train_main
+
+    model_path = str(tmp_path / "sp.msgpack")
+    train_main([
+        "--patch_dir", patch_dir, "--model_path", model_path,
+        "--T", "10", "--epochs", "1", "--batch_size", "4", "--base_ch", "4",
+        "--compute_dtype", "float32", "--spatial_shard",
+    ])
+    assert os.path.exists(model_path)
+
+
 def test_eval_file_list_forces_order(patch_dir, tmp_path):
     from s1s2.cli.evaluate import main as eval_main
 
