@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     # s1s2 extensions
     ap.add_argument("--cfg_drop_prob", type=float, default=0.0,
                     help="cond dropout for CFG training (cfg_v family)")
+    ap.add_argument("--lr_schedule", choices=["constant", "warmup_cosine"],
+                    default="constant")
+    ap.add_argument("--warmup_steps", type=int, default=100)
+    ap.add_argument("--total_steps", type=int, default=10_000,
+                    help="decay horizon for warmup_cosine")
     ap.add_argument("--schedule", choices=["cosine", "linear"], default="cosine")
     ap.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
@@ -76,6 +81,9 @@ def main(argv=None) -> None:
         mask_as_weights=args.mask_as_weights,
         band_weights=tuple(args.band_weights) if args.band_weights else None,
         cfg_drop_prob=args.cfg_drop_prob,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
     )
     if args.preset == "eps_reference":
         cfg = TrainConfig.eps_reference(

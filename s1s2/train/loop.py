@@ -101,6 +101,11 @@ class TrainConfig:
     mask_as_weights: bool = False
     band_weights: Optional[Tuple[float, ...]] = None
     cfg_drop_prob: float = 0.0  # classifier-free-guidance cond dropout
+    # optional LR schedule (s1s2 extension; reference uses constant lr):
+    # 'constant' | 'warmup_cosine' (linear warmup → cosine decay to 0)
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
+    total_steps: int = 10_000  # decay horizon for warmup_cosine
 
     @classmethod
     def eps_reference(cls, **kw) -> "TrainConfig":
@@ -129,7 +134,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     txs = []
     if cfg.grad_clip and cfg.grad_clip > 0:
         txs.append(optax.clip_by_global_norm(cfg.grad_clip))
-    txs.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+    if cfg.lr_schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+        )
+    elif cfg.lr_schedule == "constant":
+        lr = cfg.lr
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r}")
+    txs.append(optax.adamw(lr, weight_decay=cfg.weight_decay))
     return optax.chain(*txs)
 
 

@@ -96,6 +96,26 @@ class TestTrainStep:
         state, m = step(state, synthetic_batch(rng), jax.random.PRNGKey(0))
         assert bool(jnp.isfinite(m["loss"]))
 
+    def test_warmup_cosine_schedule(self, setup, rng):
+        """LR schedule option: step runs, and early-step updates are tiny
+        (warmup from 0)."""
+        model, params = setup
+        cfg = TrainConfig(T=T, lr=1e-2, lr_schedule="warmup_cosine",
+                          warmup_steps=50, total_steps=200, t_sampler="uniform")
+        state = create_train_state(params, cfg)
+        step = jax.jit(make_train_step(model.apply, SCHED, cfg))
+        batch = synthetic_batch(rng)
+        new_state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert bool(jnp.isfinite(m["loss"]))
+        # first step lr ≈ lr/50 → param delta far below a constant-lr step
+        leaf = lambda tr: jax.tree_util.tree_leaves(tr)[0]
+        delta = float(jnp.abs(leaf(new_state.params) - leaf(state.params)).max())
+        assert delta < 1e-3, delta
+        with pytest.raises(ValueError):
+            from s1s2.train.loop import make_optimizer
+
+            make_optimizer(TrainConfig(lr_schedule="nope"))
+
     def test_eps_reference_config(self):
         cfg = TrainConfig.eps_reference(T=1000)
         assert cfg.lr == 1e-5 and cfg.pred_param == "eps"
