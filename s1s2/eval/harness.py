@@ -525,6 +525,10 @@ def run_per_band(ctx: EvalContext) -> Dict:
             for b in range(ctx.Ct):
                 mae_b, mse_b, ps, ss = per_band[b]
                 row += [f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}", f"{ps[j]:.3f}", f"{ss[j]:.4f}"]
+                if cfg.full_metrics:
+                    # per-band SAM is ill-posed for a scalar band; the
+                    # reference writes NaN (`Comparison_Original.py:544-545`)
+                    row.append("NaN")
                 band_accum.setdefault(b, []).append(
                     (float(mae_b[j]), float(mse_b[j]), float(ps[j]), float(ss[j]))
                 )
@@ -539,6 +543,8 @@ def run_per_band(ctx: EvalContext) -> Dict:
     hdr = ["file"]
     for b in range(ctx.Ct):
         hdr += [f"band{b}_MAE", f"band{b}_MSE", f"band{b}_PSNR", f"band{b}_SSIMs"]
+        if cfg.full_metrics:
+            hdr.append(f"band{b}_SAM")
     _write_csv(os.path.join(cfg.out_dir, "per_band_all.csv"), hdr, rows)
 
     agg_rows = []
