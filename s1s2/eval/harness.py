@@ -188,7 +188,9 @@ class EvalContext:
 
     def per_file_keys(self, indices: Sequence[int], salt: int = 0) -> jax.Array:
         base = jax.random.PRNGKey(self.cfg.seed_base + salt)
-        return jnp.stack([jax.random.fold_in(base, int(i)) for i in indices])
+        idx = jnp.asarray([int(i) for i in indices], jnp.uint32)
+        # vmapped fold_in == the per-index loop, without O(files) dispatches
+        return jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
 
     def per_file_noise(self, indices: Sequence[int], salt: int = 0) -> jnp.ndarray:
         keys = self.per_file_keys(indices, salt)
@@ -835,7 +837,9 @@ def run_limitation(ctx: EvalContext) -> Dict:
     # dataset-fixed viz ranges (`Limitation_Test_v_Prediction.py:160-180`)
     viz_lo = viz_hi = None
     if cfg.viz_mode == "dataset_fixed" and cfg.save_n > 0:
-        gts = [load_patch(ctx.ds.path(i))["target"] for i in range(len(ctx.ds))]
+        # generator: dataset_fixed_lo_hi streams min/max of per-image
+        # percentiles, so only ONE GT is in host memory at a time
+        gts = (load_patch(ctx.ds.path(i))["target"] for i in range(len(ctx.ds)))
         viz_lo, viz_hi = V.dataset_fixed_lo_hi(gts, cfg.viz_q_low, cfg.viz_q_high)
 
     saved = 0
@@ -957,22 +961,23 @@ def run_cloudy_viz(ctx: EvalContext) -> Dict:
     fracs.sort()
     selected = fracs[: cfg.select_top_cloud]
     sampler = _make_recon_sampler(ctx, 200, 20)
-    for n, (_, fname, i) in enumerate(selected):
-        d = load_patch(ctx.ds.path(i))
-        cond = jnp.asarray(d["cond"][None])
-        gt = jnp.asarray(d["target"][None])
-        noise = ctx.per_file_noise([i])
-        # batch of one — pad to batch_size for the shared jit signature
-        pad = cfg.batch_size - 1
-        x0 = sampler(
-            jnp.concatenate([cond] + [cond] * pad),
-            jnp.concatenate([gt] + [gt] * pad),
-            jnp.concatenate([noise] + [noise] * pad),
-        )[0]
-        V.save_panel(np.asarray(x0), d["target"], d["cond"],
-                     os.path.join(ctx.viz_dir, f"{n:03d}_cloudy_panel.png"),
-                     title=f"Cloudy case: {fname}",
-                     zoom=cfg.zoom, zoom_k=cfg.zoom_k)
+    # run the selected tiles as REAL batches (round 1 replicated each tile
+    # batch_size× to reuse one jit signature — a full batch of wasted FLOPs
+    # per panel)
+    n = 0
+    for lo in range(0, len(selected), cfg.batch_size):
+        chunk = selected[lo: lo + cfg.batch_size]
+        ds_items = [load_patch(ctx.ds.path(i)) for _, _, i in chunk]
+        cond = jnp.asarray(np.stack([d["cond"] for d in ds_items]))
+        gt = jnp.asarray(np.stack([d["target"] for d in ds_items]))
+        noise = ctx.per_file_noise([i for _, _, i in chunk])
+        x0 = np.asarray(sampler(cond, gt, noise))
+        for j, (_, fname, _) in enumerate(chunk):
+            V.save_panel(x0[j], ds_items[j]["target"], ds_items[j]["cond"],
+                         os.path.join(ctx.viz_dir, f"{n:03d}_cloudy_panel.png"),
+                         title=f"Cloudy case: {fname}",
+                         zoom=cfg.zoom, zoom_k=cfg.zoom_k)
+            n += 1
     return {"panels": len(selected)}
 
 
@@ -1095,7 +1100,4 @@ def run_mode(cfg: EvalConfig) -> Dict:
     if cfg.mode == "vdiag":
         cfg = dataclasses.replace(cfg, pred_param="v")
     ctx = EvalContext(cfg)
-    fn = MODES[cfg.mode]
-    if cfg.mode in ("baseline_bicubic", "baseline_linear"):
-        return fn(ctx)
-    return fn(ctx)
+    return MODES[cfg.mode](ctx)

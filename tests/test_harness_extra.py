@@ -83,3 +83,22 @@ def test_limitation_dataset_fixed_viz(trained, cloud_patch_dir, tmp_path):
     assert any(f.endswith("_compare_cir.png") for f in files)
     # fixed-range mode does not write the 6-file percentile set
     assert not any(f.endswith("_pred_true.png") for f in files)
+
+
+def test_per_file_keys_vmap_matches_loop():
+    """per_file_keys (vmapped fold_in) must be bit-identical to the round-1
+    per-index loop — the per-file RNG replaces the reference's
+    torch.manual_seed(seed_base+i) contract."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.PRNGKey(42 + 7)
+    idx = [0, 1, 5, 17, 2000]
+    loop = jnp.stack([jax.random.fold_in(base, int(i)) for i in idx])
+
+    from s1s2.eval.harness import EvalContext
+
+    keys = EvalContext.per_file_keys.__get__(
+        type("C", (), {"cfg": type("G", (), {"seed_base": 42})()})()
+    )(idx, salt=7)
+    assert (loop == keys).all()
