@@ -65,11 +65,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "files here; later epochs read zero-copy")
     ap.add_argument("--spatial_shard", action="store_true")
     ap.add_argument("--log_every", type=int, default=50)
+    # multi-process (multi-host) bring-up — s1s2 extension, SURVEY §2.3
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="host:port of process 0 (enables jax.distributed)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     return ap
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.coordinator is not None:
+        from s1s2.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     from s1s2.train.loop import TrainConfig
     from s1s2.train.trainer import RunConfig, train_loop
 

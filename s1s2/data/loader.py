@@ -110,14 +110,43 @@ def batch_iterator(
     seed: int = 1337,
     epoch: int = 0,
     prefetch: bool = True,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator[Batch]:
-    """One epoch of batches (shuffled per-epoch like the reference loader)."""
+    """One epoch of batches (shuffled per-epoch like the reference loader).
+
+    Multi-process: ``batch_size`` is the GLOBAL batch; every process shuffles
+    with the same (seed, epoch) so the global order agrees, then assembles
+    only its contiguous 1/process_count slice of each global batch (the
+    slice jax.make_array_from_process_local_data expects for a
+    batch-major-sharded mesh). Defaults come from the jax runtime so
+    single-process behavior is unchanged."""
+    if process_index is None or process_count is None:
+        try:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        except Exception:
+            process_index, process_count = 0, 1
+    if batch_size % process_count:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {process_count} processes"
+        )
+    local = batch_size // process_count
     n = len(ds)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
     stops = range(0, n - batch_size + 1 if drop_last else n, batch_size)
-    chunks = [order[s : s + batch_size] for s in stops]
+    globals_ = [order[s : s + batch_size] for s in stops]
+    if process_count > 1:
+        # every process must see the same number of identically-shaped local
+        # batches or the collectives deadlock — drop ragged tails
+        globals_ = [g for g in globals_ if len(g) == batch_size]
+    chunks = [
+        g[process_index * local : (process_index + 1) * local] for g in globals_
+    ]
     if not prefetch or len(chunks) <= 1:
         for c in chunks:
             yield _assemble(ds, c)

@@ -23,11 +23,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kw) -> None:
-    """Multi-host bring-up; safe no-op when already initialized/single-host."""
+    """Multi-host bring-up (`jax.distributed.initialize`).
+
+    No-op only in the two genuinely benign cases: nothing configured
+    (single-host run, no coordinator given by args or env) and "already
+    initialized". Real misconfigurations (bad coordinator address, wrong
+    process count, ...) PROPAGATE — round 1 swallowed them silently."""
+    import os
+
+    env_configured = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not kw and not env_configured:
+        return  # single-host: nothing to bring up
     try:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(
@@ -66,14 +81,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, spatial: bool = False):
-    """Place a pytree of (B, ...) host arrays onto the mesh, batch-sharded."""
+    """Place a pytree of (B, ...) host arrays onto the mesh, batch-sharded.
+
+    Single-process: plain device_put with a NamedSharding. Multi-process:
+    each process passes its PROCESS-LOCAL slice of the global batch (the
+    loader shards files by process — see data/loader.py) and the global
+    array is assembled via ``jax.make_array_from_process_local_data``."""
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         spec = ["data"] + [None] * (x.ndim - 1)
         if spatial and x.ndim >= 3 and mesh.shape.get("space", 1) > 1:
             spec[1] = "space"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -147,12 +147,16 @@ def train_loop(
         history["epoch_loss"].append(avg_loss)
         history["steps_per_sec"].append(n_batches / max(dt, 1e-9))
 
-        # EMA-weighted last/best/final triple (`Train_Orignal.py:323-336`)
-        save_model(state.ema_params, last_path)
+        # EMA-weighted last/best/final triple (`Train_Orignal.py:323-336`);
+        # in multi-process runs only process 0 writes (params replicated)
+        is_p0 = jax.process_index() == 0
+        if is_p0:
+            save_model(state.ema_params, last_path)
         if avg_loss < best_loss:
             best_loss = avg_loss
-            save_model(state.ema_params, best_path)
-        if run.save_state_dir:
+            if is_p0:
+                save_model(state.ema_params, best_path)
+        if run.save_state_dir and is_p0:
             save_state(state, run.save_state_dir)
         if progress:
             progress({"epoch": epoch, "avg_loss": avg_loss,
@@ -163,7 +167,8 @@ def train_loop(
 
     if mlog:
         mlog.close()
-    save_model(state.ema_params, final_path)
+    if jax.process_index() == 0:
+        save_model(state.ema_params, final_path)
     history["best_loss"] = best_loss
     history["skipped"] = int(state.skipped)
     history["final_state"] = state
