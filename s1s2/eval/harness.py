@@ -732,7 +732,8 @@ def run_true_infer(ctx: EvalContext) -> Dict:
         f"SAM  mean/std: {_mstd(agg['sam'])[0]:.4f} / {_mstd(agg['sam'])[1]:.4f}",
         f"ERGAS mean/std: {_mstd(agg['ergas'])[0]:.2f} / {_mstd(agg['ergas'])[1]:.2f}",
     ])
-    return {"MAE_mean": _mstd(agg["mae"])[0], "PSNR_mean": _mstd(agg["psnr"])[0]}
+    return {f"{k.upper()}_mean": _mstd(agg[k.lower()])[0]
+            for k in ("MAE", "MSE", "PSNR", "SAM", "ERGAS")}
 
 
 def _ddim_from_init(fn, x_init, schedule, t_start, steps):

@@ -1,0 +1,197 @@
+"""int8 inference path for UNetSmall — post-training quantization (s1s2
+EXTENSION; the reference has no quantization anywhere).
+
+Why: the v5e MXU runs int8 at 2× the bf16 rate. Measured on-chip with the
+fused-requant conv chain this path is built from: 362 TOP/s int8 vs
+138 TFLOP/s bf16 at the UNet's hot shapes (tools/probe_pallas_int8.py,
+2.6×). XLA fuses the whole requant epilogue (scale → bias → ReLU →
+round/clip/cast) into the conv, so the quantized network stays MXU-bound.
+
+Design (validated by the probe):
+* **weights**: symmetric per-OUTPUT-channel int8; scales from |w|max/127.
+* **activations**: symmetric per-tensor int8 with STATIC scales calibrated
+  offline (absmax over calibration batches through the bf16 model), so the
+  jitted graph has no data-dependent scale computation.
+* only the hot 3×3 double-conv blocks run int8; `inc` (9→96, trivial
+  FLOPs, carries the raw-integer t channel), the 2×2 transposed convs and
+  the 1×1 `outc` head stay bf16 — they are a few % of the FLOPs and keep
+  the quantization error off the skip/up paths' endpoints.
+* same parameter tree as UNetSmall (models/unet.py): quantization is a
+  pure function of a trained checkpoint — no retraining, any reference
+  .pth converted by models/convert.py quantizes the same way.
+
+Functional (not flax): the forward mirrors UNetSmall.__call__
+(`Train_Orignal.py:110-147` topology) but takes a QuantParams pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLOCKS = ("down1", "down2", "down3", "conv3", "conv2", "conv1")
+
+
+@dataclasses.dataclass
+class QuantParams:
+    """int8 weights + scales for the double-conv blocks; the untouched
+    bf16/f32 params for everything else."""
+
+    params: Any  # original UNetSmall param tree (inc/up*/outc read from it)
+    w8: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]  # name -> (w8, sw_perco)
+    bias: Dict[str, jnp.ndarray]
+    act_scale: Dict[str, float]  # conv input absmax/127, static
+    out_ch: int = 4
+    base_ch: int = 96
+
+
+def _conv_names():
+    for blk in _BLOCKS:
+        for c in ("conv1", "conv2"):
+            yield f"{blk}/{c}"
+
+
+def quantize_weights(params) -> Tuple[Dict, Dict]:
+    """Per-output-channel symmetric int8 for every double-conv kernel."""
+    w8, bias = {}, {}
+    for name in _conv_names():
+        blk, c = name.split("/")
+        p = params[blk][c]
+        w = np.asarray(p["kernel"], np.float32)  # (3,3,Ci,Co)
+        sw = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
+        sw = np.maximum(sw, 1e-12)
+        q = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        w8[name] = (jnp.asarray(q), jnp.asarray(sw.astype(np.float32)))
+        bias[name] = jnp.asarray(np.asarray(p["bias"], np.float32))
+    return w8, bias
+
+
+# ---------------------------------------------------------------------------
+# shared forward skeleton: one code path computes BOTH the calibration
+# (bf16 convs, records conv-input absmax) and the quantized inference
+# (int8 convs with static scales) so the topology cannot drift
+# ---------------------------------------------------------------------------
+
+
+def _conv_bf16(x, kernel, b, dt=jnp.bfloat16):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1), "SAME",
+        dimension_numbers=dn, preferred_element_type=dt)
+    return y + b.astype(dt)
+
+
+def _convt_2x2(x, kernel, b, dt=jnp.bfloat16):
+    # flax ConvTranspose semantics: kernel (2,2,Ci,Co), stride 2, VALID
+    y = jax.lax.conv_transpose(
+        x.astype(dt), kernel.astype(dt), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=False, preferred_element_type=dt)
+    return y + b.astype(dt)
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128), jax.lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
+             records=None):
+    """mode='calib': bf16 blocks, append (name, absmax) to records.
+    mode='int8': int8 blocks with static qp.act_scale."""
+    params = qp.params
+    dt = jnp.bfloat16
+    B, H, W, _ = x_and_cond.shape
+    t_map = jnp.broadcast_to(
+        t_idx.astype(jnp.float32).reshape(B, 1, 1, 1), (B, H, W, 1))
+    x = jnp.concatenate([x_and_cond.astype(jnp.float32), t_map], -1).astype(dt)
+
+    def block_conv(x, name):
+        blk, c = name.split("/")
+        if mode == "calib":
+            records[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            p = params[blk][c]
+            return jax.nn.relu(_conv_bf16(x, p["kernel"], p["bias"]))
+        w8, sw = qp.w8[name]
+        sx = qp.act_scale[name]
+        x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                      ).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(x8.shape, w8.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        acc = jax.lax.conv_general_dilated(
+            x8, w8, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (sx * sw) + qp.bias[name]
+        return jax.nn.relu(y).astype(dt)
+
+    def block(x, blk):
+        x = block_conv(x, f"{blk}/conv1")
+        return block_conv(x, f"{blk}/conv2")
+
+    e1 = jax.nn.relu(_conv_bf16(x, params["inc"]["kernel"],
+                                params["inc"]["bias"]))
+    e2 = _pool(block(e1, "down1"))
+    e3 = _pool(block(e2, "down2"))
+    e4 = _pool(block(e3, "down3"))
+
+    u3 = _convt_2x2(e4, params["up3"]["kernel"], params["up3"]["bias"])
+    d3 = block(jnp.concatenate([u3, e3], -1), "conv3")
+    u2 = _convt_2x2(d3, params["up2"]["kernel"], params["up2"]["bias"])
+    d2 = block(jnp.concatenate([u2, e2], -1), "conv2")
+    u1 = _convt_2x2(d2, params["up1"]["kernel"], params["up1"]["bias"])
+    d1 = block(jnp.concatenate([u1, e1], -1), "conv1")
+
+    out = _conv_bf16(d1, params["outc"]["kernel"], params["outc"]["bias"])
+    return out.astype(jnp.float32)
+
+
+def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96) -> Dict[str, float]:
+    """absmax of every double-conv input over calibration batches.
+
+    batches: iterable of (x_and_cond (B,H,W,Cc+Ct), t_idx (B,)) — use
+    representative (cond, x_t, t) triples from the sampler's own range of
+    timesteps for faithful activation ranges.
+    """
+    qp = QuantParams(params, {}, {}, {}, out_ch, base_ch)
+
+    @jax.jit
+    def one(x, t):
+        rec: Dict[str, jnp.ndarray] = {}
+        _forward(qp, x, t, mode="calib", records=rec)
+        return rec
+
+    mx: Dict[str, float] = {}
+    for x, t in batches:
+        rec = one(jnp.asarray(x), jnp.asarray(t))
+        for k, v in rec.items():
+            mx[k] = max(mx.get(k, 0.0), float(v))
+    return {k: max(v, 1e-6) / 127.0 for k, v in mx.items()}
+
+
+def quantize_unet(params, calib_batches, out_ch: int = 4,
+                  base_ch: int = 96) -> QuantParams:
+    """One-call post-training quantization of a trained UNetSmall."""
+    w8, bias = quantize_weights(params)
+    scales = calibrate(params, calib_batches, out_ch, base_ch)
+    return QuantParams(params, w8, bias, scales, out_ch, base_ch)
+
+
+def quant_apply(qp: QuantParams, x_and_cond, t_idx):
+    """Drop-in for UNetSmall.apply(variables, x, t) — same signature shape."""
+    return _forward(qp, x_and_cond, t_idx, mode="int8")
+
+
+def make_quant_denoise_fn(qp: QuantParams, cond):
+    """Sampler-facing closure, mirroring sampling.make_denoise_fn."""
+
+    def fn(x_t, t):
+        return quant_apply(qp, jnp.concatenate(
+            [x_t.astype(jnp.float32), cond.astype(jnp.float32)], -1), t)
+
+    return fn

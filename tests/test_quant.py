@@ -1,0 +1,102 @@
+"""int8 inference path (models/quant.py): topology parity of the shared
+forward skeleton vs UNetSmall, quantization error bounds, and sampler
+integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s1s2.models import UNetSmall
+from s1s2.models.quant import (
+    QuantParams,
+    _forward,
+    calibrate,
+    make_quant_denoise_fn,
+    quant_apply,
+    quantize_unet,
+    quantize_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = UNetSmall(out_ch=3, base_ch=8, compute_dtype=jnp.bfloat16)
+    B, H, W, CIN = 2, 16, 16, 5  # x_t 3 + cond 2
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, CIN)), jnp.zeros((1,), jnp.int32)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, CIN), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    return model, variables, x, t
+
+
+def test_calib_forward_matches_unetsmall(setup):
+    """The shared skeleton in bf16-calibration mode IS the UNetSmall forward
+    (same params, same topology) — outputs must agree to bf16 tolerance."""
+    model, variables, x, t = setup
+    want = model.apply(variables, x, t)
+    qp = QuantParams(variables["params"], {}, {}, {}, out_ch=3, base_ch=8)
+    rec = {}
+    got = _forward(qp, x, t, mode="calib", records=rec)
+    assert got.dtype == want.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=5e-2)
+    assert len(rec) == 12  # 6 blocks x 2 convs
+
+
+def test_weight_quantization_bounds(setup):
+    _, variables, _, _ = setup
+    w8, _ = quantize_weights(variables["params"])
+    for name, (q, sw) in w8.items():
+        assert q.dtype == jnp.int8
+        assert int(jnp.abs(q).max()) <= 127
+        # per-out-channel scales: at least one channel saturates
+        deq_max = np.abs(np.asarray(q, np.float32) * np.asarray(sw)).reshape(
+            -1, q.shape[-1]).max(axis=0)
+        w = np.abs(np.asarray(
+            variables["params"][name.split("/")[0]][name.split("/")[1]]["kernel"]
+        )).reshape(-1, q.shape[-1]).max(axis=0)
+        np.testing.assert_allclose(deq_max, w, rtol=0.02)
+
+
+def test_int8_forward_close_to_bf16(setup):
+    model, variables, x, t = setup
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8)
+    want = np.asarray(model.apply(variables, x, t))
+    got = np.asarray(quant_apply(qp, x, t))
+    # random-init nets amplify; just bound the relative error sanely
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.25
+    assert np.abs(got - want).mean() / scale < 0.05
+
+
+def test_quant_denoise_fn_in_sampler(setup):
+    """The quantized net slots into the fused DDIM scan unchanged."""
+    from s1s2.core import Schedule
+    from s1s2.sampling import ddim_anchored
+
+    model, variables, x, t = setup
+    cond = x[..., 3:]
+    gt = jnp.clip(x[..., :3] * 0.1 + 0.5, 0, 1)
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8)
+    schedule = Schedule.cosine(10)
+    fn = make_quant_denoise_fn(qp, cond)
+    out = jax.jit(
+        lambda gt, k: ddim_anchored(fn, gt, k, schedule, 8, 3)
+    )(gt, jax.random.PRNGKey(2))
+    out = np.asarray(out)
+    assert out.shape == gt.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_calibration_uses_max_over_batches(setup):
+    _, variables, x, t = setup
+    small = calibrate(variables["params"], [(x * 0.1, t)], out_ch=3, base_ch=8)
+    both = calibrate(variables["params"], [(x * 0.1, t), (x, t)],
+                     out_ch=3, base_ch=8)
+    big = calibrate(variables["params"], [(x, t)], out_ch=3, base_ch=8)
+    for k in big:
+        assert both[k] == pytest.approx(big[k])
+        assert small[k] <= big[k] + 1e-9

@@ -56,47 +56,65 @@ def pallas_matmul(a, b, bm=256, bn=256, bk=256, out_dtype=jnp.float32):
     )(a, b)
 
 
+def _time(name, fn, make_args, flops, iters=8):
+    """Per-call blocked timing with a DIFFERENT input each call.
+
+    Two failure modes were caught building this: (a) same-args dispatch
+    loops replay cached results on this remote runtime (first probe
+    'measured' 3100 TFLOP/s on a 197-peak chip; a re-run of an identical
+    chain returned in 0.00 ms), and (b) blocked-call RTT is negligible
+    (~0.05 ms), so per-call blocking with fresh args is accurate."""
+    try:
+        fn(*make_args(0)).block_until_ready()
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        return None
+    best = float("inf")
+    for i in range(1, iters + 1):
+        args = make_args(i)
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        fn(*args).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {flops / best / 1e12:8.1f} T/s  ({best * 1e3:.2f} ms)")
+    return best
+
+
 def probe_matmul():
+    # correctness first (small)
+    ka = jax.random.PRNGKey(7)
+    sa = (jax.random.normal(ka, (512, 512)) * 5).astype(jnp.int8)
+    sb = (jax.random.normal(jax.random.PRNGKey(8), (512, 512)) * 5).astype(jnp.int8)
+    got = pallas_matmul(sa, sb, out_dtype=jnp.int32)
+    want = jax.lax.dot_general(sa, sb, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    assert (got == want).all(), "pallas int8 matmul mismatch"
+    print("pallas int8 matmul exact vs XLA: OK")
+
     M, K, N = 8192, 2048, 2048
-    flops = 2 * M * K * N
     key = jax.random.PRNGKey(0)
     af = jax.random.normal(key, (M, K), jnp.float32)
     bf = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32)
+    flops = 2 * M * K * N
 
-    for name, a, b, out_dtype in [
-        ("bf16", af.astype(jnp.bfloat16), bf.astype(jnp.bfloat16), jnp.bfloat16),
-        ("int8", (af * 10).astype(jnp.int8), (bf * 10).astype(jnp.int8), jnp.int32),
-    ]:
-        fn = jax.jit(lambda a, b, od=out_dtype: pallas_matmul(a, b, out_dtype=od))
-        try:
-            fn(a, b).block_until_ready()
-        except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
-            continue
-        iters = 50
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(a, b)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        print(f"pallas matmul {name}: {flops / dt / 1e12:8.1f} T{'OP' if name == 'int8' else 'FLOP'}/s")
+    def args_f(dtype):
+        def make(i):
+            return ((af + i).astype(dtype), bf.astype(dtype))
+        return make
 
-    # XLA reference points
-    for name, a, b in [
-        ("xla bf16", af.astype(jnp.bfloat16), bf.astype(jnp.bfloat16)),
-        ("xla int8", (af * 10).astype(jnp.int8), (bf * 10).astype(jnp.int8)),
-    ]:
-        pref = jnp.int32 if "int8" in name else jnp.bfloat16
-        fn = jax.jit(lambda a, b, p=pref: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=p))
-        fn(a, b).block_until_ready()
-        iters = 50
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(a, b)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        print(f"{name}: {flops / dt / 1e12:8.1f} T/s")
+    def args_i8(i):
+        return ((af * 10 + i).astype(jnp.int8), (bf * 10).astype(jnp.int8))
+
+    _time("pallas bf16", jax.jit(lambda a, b: pallas_matmul(a, b, out_dtype=jnp.bfloat16)),
+          args_f(jnp.bfloat16), flops)
+    _time("pallas int8", jax.jit(lambda a, b: pallas_matmul(a, b, out_dtype=jnp.int32)),
+          args_i8, flops)
+    _time("xla    bf16", jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.bfloat16)),
+          args_f(jnp.bfloat16), flops)
+    _time("xla    int8", jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)),
+          args_i8, flops)
 
 
 def _dma_kernel(x_hbm, o_ref, scratch, sem, *, TH):
@@ -125,9 +143,55 @@ def probe_dma():
     err = float(jnp.abs(out - ref).max())
     print(f"3-D first-axis dynamic DMA: OK, max err {err:.2e}")
 
+def probe_conv():
+    """Chained 3x3 convs at UNet hot shapes: bf16 vs int8 (+fused requant).
+    This is the decisive comparison for an int8 inference path — the UNet's
+    bf16 convs measure 147-170 TFLOP/s in the real model."""
+    B, H, W, C = 32, 256, 256, 128
+    reps = 6
+    dn = jax.lax.conv_dimension_numbers((B, H, W, C), (3, 3, C, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+    flops = 2 * B * H * W * 9 * C * C * reps
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C), jnp.float32) * 0.05
+
+    @jax.jit
+    def chain_bf16(x, w):
+        x = x.astype(jnp.bfloat16)
+        wb = w.astype(jnp.bfloat16)
+        for _ in range(reps):
+            x = jax.lax.conv_general_dilated(
+                x, wb, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.bfloat16)
+            x = jnp.maximum(x, 0) * 0.0625  # relu + rescale to keep finite
+        return x
+
+    @jax.jit
+    def chain_int8(x8, w8):
+        scale = jnp.float32(1.0 / (127.0 * 8))
+        for _ in range(reps):
+            acc = jax.lax.conv_general_dilated(
+                x8, w8, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            # fused requant: scale, relu, round, clip, back to int8
+            y = jnp.maximum(acc.astype(jnp.float32) * scale, 0.0)
+            x8 = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        return x8
+
+    x8 = (x * 16).astype(jnp.int8)
+    w8 = (w * 160).astype(jnp.int8)
+
+    _time("conv bf16 x6", chain_bf16,
+          lambda i: (x + i * 1e-3, w), flops)
+    _time("conv int8+requant x6", chain_int8,
+          lambda i: ((x * 16 + i).astype(jnp.int8), w8), flops)
+
 
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("conv", "all"):
+        probe_conv()
     if what in ("dma", "all"):
         probe_dma()
     if what in ("matmul", "all"):
