@@ -1,25 +1,35 @@
 """Headline benchmark: 256×256 S1→S2 patches/sec/chip at 50-step DDIM.
 
-Runs the flagship UNetSmall (base_ch=96, ε-param, bf16 compute) through the
-fused 50-step lax.scan DDIM sampler on the real TPU chip. Baseline = 500
+Runs the flagship UNetSmall (base_ch=96, ε-param) through the fused
+50-step lax.scan DDIM sampler on the real TPU chip. Baseline = 500
 patches/sec/chip (BASELINE.json north star; the reference publishes no
 throughput numbers — SURVEY.md §6).
 
-Prints TWO JSON lines:
-  1. quality-matched throughput — DPM-Solver++(2M) at 5 steps (6 model
-     calls), which matches/beats 20-step DDIM reconstruction MAE on the
-     same checkpoint (evidence: tools/bench_quality_matched.py +
-     BENCH_NOTES.md solver tables). This is the honest "patches/s at
-     DDIM-20 quality" number.
-  2. the fixed 50-step DDIM headline (LAST line = the driver-parsed
-     metric, same as round 1).
-
-Batch 128 is the measured v5e sweet spot (tools/roofline.py sweep:
-B=32→9.8, 64→9.8, 128→11.4, 192→9.6, 256→11.3 patches/s).
+Prints JSON lines (driver parses the LAST):
+  1. bf16 reference path (B=128, the measured bf16 batch sweet spot).
+  2. quality-matched throughput — DPM-Solver++(2M) 5 steps + int8: matches
+     20-step DDIM MAE on the same checkpoint (evidence:
+     tools/bench_quality_matched.py --int8 → quality_matched_int8: true;
+     BENCH_NOTES.md tables).
+  3. HEADLINE (last): 50-step DDIM through the int8 quantized path
+     (models/quant.py) — same workload, reconstruction MAE identical to
+     bf16 (0.49815 vs 0.49813, tools/bench_int8.py), runs on the v5e's 2×
+     int8 MXU mode. B=64 is the int8 sweet spot (bench_int8 sweep:
+     32→15.1, 64→15.2, 128→12.3).
 """
 
 import json
 import time
+
+
+def _report(metric: str, pps: float, **extra) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(pps, 2),
+        "unit": "patches/s",
+        "vs_baseline": round(pps / 500.0, 3),
+        **extra,
+    }), flush=True)
 
 
 def main() -> None:
@@ -30,71 +40,80 @@ def main() -> None:
     from s1s2.core import Schedule
     from s1s2.core.parametrize import Parameterization, q_sample
     from s1s2.models import UNetSmall
+    from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
     from s1s2.sampling import ddim_anchored, dpm_solver_2m, make_denoise_fn
     from s1s2.sampling.grids import round_unique_grid
 
-    B, H, W, CC, CT = 128, 256, 256, 4, 4
+    H, W, CC, CT = 256, 256, 4, 4
     STEPS, T_START = 50, 999
 
     model = UNetSmall(out_ch=CT, base_ch=96, compute_dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
     variables = model.init(
-        key, jnp.zeros((1, H, W, CC + CT), jnp.float32), jnp.zeros((1,), jnp.int32)
-    )
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
     schedule = Schedule.cosine(1000)
-
-    cond = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, CC), jnp.float32)
-    gt = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, CT), jnp.float32)
-
-    # --- quality-matched: dpm2m-5 anchored @ t_start=200 (the evidence
-    # config; 6 UNet calls total) ---
-    grid = round_unique_grid(200, 5, 1000)
-    K = int(grid[-1])
     ab = schedule.alpha_bar_np()
-    sab, s1m = float(np.sqrt(ab[K])), float(np.sqrt(1.0 - ab[K]))
 
+    def data(B, seed):
+        cond = jax.random.normal(jax.random.PRNGKey(seed), (B, H, W, CC))
+        gt = jax.random.uniform(jax.random.PRNGKey(seed + 1), (B, H, W, CT))
+        return cond, gt
+
+    def timed(run, cond, gt, iters):
+        run(cond, gt, jax.random.PRNGKey(9)).block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = run(cond, gt, jax.random.PRNGKey(10 + i))
+        out.block_until_ready()
+        return cond.shape[0] * iters / (time.perf_counter() - t0)
+
+    # ---- 1. bf16 reference: 50-step DDIM @ B=128 ----
     @jax.jit
-    def run_qm(cond, gt, noise):
-        fn = make_denoise_fn(model.apply, variables, cond)
-        x_init = q_sample(gt, noise, sab, s1m)
-        return dpm_solver_2m(fn, x_init, schedule, grid, Parameterization.EPS)
-
-    noise = jax.random.normal(jax.random.PRNGKey(4), gt.shape)
-    run_qm(cond, gt, noise).block_until_ready()
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run_qm(cond, gt, noise)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    pps_qm = B * iters / dt
-    print(json.dumps({
-        "metric": "patches_per_sec_per_chip_dpm2m5_at_ddim20_quality_256px",
-        "value": round(pps_qm, 2),
-        "unit": "patches/s",
-        "vs_baseline": round(pps_qm / 500.0, 3),
-    }))
-
-    # --- headline: fixed 50-step DDIM (driver-parsed last line) ---
-    @jax.jit
-    def run(cond, gt, key):
+    def run_bf16(cond, gt, key):
         fn = make_denoise_fn(model.apply, variables, cond)
         return ddim_anchored(fn, gt, key, schedule, T_START, STEPS)
 
-    run(cond, gt, jax.random.PRNGKey(3)).block_until_ready()
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(cond, gt, jax.random.PRNGKey(10 + i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    pps = B * iters / dt
-    print(json.dumps({
-        "metric": "patches_per_sec_per_chip_50step_ddim_256px",
-        "value": round(pps, 2),
-        "unit": "patches/s",
-        "vs_baseline": round(pps / 500.0, 3),
-    }))
+    cond, gt = data(128, 1)
+    _report("patches_per_sec_per_chip_50step_ddim_256px_bf16",
+            timed(run_bf16, cond, gt, 5))
+    del cond, gt
+
+    # ---- quantize once (calibration on sampler-representative tensors) ----
+    cond, gt = data(64, 3)
+    calib = []
+    key = jax.random.PRNGKey(5)
+    for tval in (999, 500, 200, 20):
+        key, sub = jax.random.split(key)
+        x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
+                       float(np.sqrt(ab[tval])), float(np.sqrt(1.0 - ab[tval])))
+        calib.append((jnp.concatenate([x_t, cond[:8]], -1),
+                      jnp.full((8,), tval, jnp.int32)))
+    qp = quantize_unet(variables["params"], calib)
+
+    # ---- 2. quality-matched: dpm2m-5 + int8 (6 UNet calls) ----
+    grid = round_unique_grid(200, 5, 1000)
+    K = int(grid[-1])
+    sab, s1m = float(np.sqrt(ab[K])), float(np.sqrt(1.0 - ab[K]))
+
+    @jax.jit
+    def run_qm(cond, gt, key):
+        fn = make_quant_denoise_fn(qp, cond)
+        x_init = q_sample(gt, jax.random.normal(key, gt.shape), sab, s1m)
+        return dpm_solver_2m(fn, x_init, schedule, grid, Parameterization.EPS)
+
+    _report("patches_per_sec_per_chip_dpm2m5_int8_at_ddim20_quality_256px",
+            timed(run_qm, cond, gt, 20))
+
+    # ---- 3. HEADLINE (last line): 50-step DDIM, int8 path, B=64 ----
+    @jax.jit
+    def run_int8(cond, gt, key):
+        fn = make_quant_denoise_fn(qp, cond)
+        return ddim_anchored(fn, gt, key, schedule, T_START, STEPS)
+
+    _report("patches_per_sec_per_chip_50step_ddim_256px",
+            timed(run_int8, cond, gt, 5),
+            config="int8-quantized (MAE-matched to bf16; BENCH_NOTES.md)")
 
 
 if __name__ == "__main__":

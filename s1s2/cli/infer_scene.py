@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--guidance_scale", type=float, default=None)
     ap.add_argument("--solver", choices=["ddim", "dpm2m"], default="ddim")
+    ap.add_argument("--mesh_data", type=int, default=0,
+                    help="shard tile batches over N devices' 'data' axis "
+                         "(0 = single device); batch_size must divide by N")
     args = ap.parse_args(argv)
 
     import jax
@@ -102,8 +105,16 @@ def main(argv=None) -> None:
         return ddim_grid_sample(fn, noise_b * vscale, jax.random.PRNGKey(args.seed),
                                 schedule, grid, Parameterization.V, eta=args.eta)
 
+    predict = predict_batch
+    if args.mesh_data:
+        from s1s2.parallel import make_mesh, shard_predict_batch
+
+        mesh = make_mesh(data=args.mesh_data, space=1,
+                         devices=jax.devices()[: args.mesh_data])
+        predict = shard_predict_batch(predict_batch, mesh)
+
     out = infer_scene(
-        predict_batch, scene, args.out_ch, ps=args.patch_size,
+        predict, scene, args.out_ch, ps=args.patch_size,
         stride=args.stride, batch_size=args.batch_size, mask_scene=mask,
         normalize=args.normalize, rng_seed=args.seed,
     )

@@ -123,6 +123,10 @@ class EvalConfig:
     viz_mode: str = "percentile"  # 'percentile' | 'dataset_fixed'
     viz_q_low: float = 1.0
     viz_q_high: float = 99.0
+    # int8 inference (s1s2 extension, models/quant.py): quantize the loaded
+    # checkpoint post-training and run the hot convs on the 2x int8 MXU
+    # path. Calibrated on the first dataset batch at a spread of timesteps.
+    int8: bool = False
 
 
 class EvalContext:
@@ -155,6 +159,7 @@ class EvalContext:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch, compute_dtype=dtype)
             self.variables = self._load_ckpt(cfg.ckpt)
+            self.qparams = self._quantize() if cfg.int8 else None
 
     def _load_ckpt(self, path: str):
         if path.endswith(".pth"):
@@ -177,9 +182,39 @@ class EvalContext:
         )["params"]
         return {"params": load_model(template, path)}
 
+    def _quantize(self):
+        """Post-training int8 quantization calibrated on the first dataset
+        batch q_sampled at a spread of sampler timesteps."""
+        from s1s2.core.parametrize import q_sample
+        from s1s2.models.quant import quantize_unet
+
+        n = min(len(self.ds), 8)
+        items = [self.ds[i] for i in range(n)]
+        cond = jnp.asarray(np.stack([d["cond"] for d in items]))
+        gt = jnp.asarray(np.stack([d["target"] for d in items]))
+        ab = self.schedule.alpha_bar_np()
+        calib = []
+        key = jax.random.PRNGKey(self.cfg.seed_base)
+        t_hi = min(max(self.cfg.t_start, 1), self.cfg.T - 1)
+        for tval in sorted({t_hi, max(t_hi // 2, 1), min(5, t_hi)}):
+            key, sub = jax.random.split(key)
+            x_t = q_sample(gt, jax.random.normal(sub, gt.shape),
+                           float(np.sqrt(ab[tval])),
+                           float(np.sqrt(1.0 - ab[tval])))
+            calib.append((jnp.concatenate([x_t, cond], -1),
+                          jnp.full((n,), tval, jnp.int32)))
+        return quantize_unet(self.variables["params"], calib,
+                             out_ch=self.Ct, base_ch=self.cfg.base_ch)
+
     # -- denoiser closures --
 
     def denoise_fn(self, cond: jnp.ndarray):
+        if self.cfg.int8:
+            from s1s2.models.quant import make_quant_denoise_fn
+
+            if self.cfg.guidance_scale is not None:
+                raise NotImplementedError("int8 + CFG not supported yet")
+            return make_quant_denoise_fn(self.qparams, cond)
         if self.cfg.guidance_scale is not None:
             return make_cfg_denoise_fn(
                 self.model.apply, self.variables, cond, self.cfg.guidance_scale

@@ -5,6 +5,7 @@ from s1s2.parallel.mesh import (
     make_mesh_for_batch,
     replicated,
     shard_batch,
+    shard_predict_batch,
     shard_train_step,
     initialize_distributed,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "make_mesh_for_batch",
     "replicated",
     "shard_batch",
+    "shard_predict_batch",
     "shard_train_step",
     "initialize_distributed",
 ]

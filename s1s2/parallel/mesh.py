@@ -102,6 +102,27 @@ def shard_batch(batch, mesh: Mesh, spatial: bool = False):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_predict_batch(predict_batch, mesh: Mesh):
+    """Device-parallel tile inference: place each (cond, noise) tile batch
+    batch-sharded over the mesh's 'data' axis before the jitted sampler
+    runs — XLA's SPMD partitioner splits the whole fused DDIM scan N-way
+    (params are closed-over constants → replicated). Used by
+    eval/scene.infer_scene via `infer_scene --mesh_data N` so one big
+    scene's tiles run on all devices at once."""
+    bshard = NamedSharding(mesh, P("data"))
+    data = mesh.shape["data"]
+
+    def wrapped(cond_b, noise_b):
+        if cond_b.shape[0] % data:
+            raise ValueError(
+                f"tile batch {cond_b.shape[0]} not divisible by mesh data={data}"
+            )
+        return predict_batch(jax.device_put(cond_b, bshard),
+                             jax.device_put(noise_b, bshard))
+
+    return wrapped
+
+
 def shard_train_step(step_fn, mesh: Mesh, spatial: bool = False):
     """jit a ``step(state, batch, key)`` with replicated state and
     data-sharded batch; XLA inserts the grad psum over ICI."""

@@ -100,3 +100,20 @@ def test_calibration_uses_max_over_batches(setup):
     for k in big:
         assert both[k] == pytest.approx(big[k])
         assert small[k] <= big[k] + 1e-9
+
+
+def test_evaluate_cli_int8(tmp_path):
+    """--int8 drives the full eval harness through the quantized path."""
+    from s1s2.data.synthetic import make_synthetic_patches
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=3)
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "ddim", "--patch_dir", patches, "--ckpt", "@random",
+        "--out_dir", str(tmp_path / "o"), "--T", "10", "--base_ch", "4",
+        "--pred_param", "eps", "--batch_size", "2",
+        "--t_start", "5", "--ddim_steps", "2", "--int8",
+    ])
+    assert (tmp_path / "o" / "ddim_metrics.csv").exists()

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--t_start", type=int, default=200)
     ap.add_argument("--ckpt", default=None, help="skip training, load this .msgpack/.pth")
+    ap.add_argument("--int8", action="store_true",
+                    help="also score the quantized int8 path (models/quant.py)")
     ap.add_argument("--out", default=None, help="workdir (default: tmp)")
     args = ap.parse_args()
 
@@ -104,28 +106,51 @@ def main():
                      / (m.sum() * gt.shape[-1]))
 
     fn = make_denoise_fn(model.apply, {"params": params}, cond)
-    rows = {}
-    for steps in (20, 10, 5):
-        out = ddim_anchored(fn, gt, key, schedule, t_start, steps, noise=noise)
-        rows[("ddim", steps)] = mae(out)
-        print(json.dumps({"sampler": "ddim", "steps": steps,
-                          "mae": round(rows[("ddim", steps)], 5)}), flush=True)
-    for steps in (10, 5):
-        grid = round_unique_grid(t_start, steps, T)
-        K = int(grid[-1])
-        x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
-                          float(np.sqrt(1.0 - ab[K])))
-        out = dpm_solver_2m(fn, x_init, schedule, grid, Parameterization.EPS)
-        rows[("dpm2m", steps)] = mae(out)
-        print(json.dumps({"sampler": "dpm2m", "steps": steps,
-                          "mae": round(rows[("dpm2m", steps)], 5)}), flush=True)
+    fns = {"": fn}
+    if args.int8:
+        from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
 
-    d20, dp5 = rows[("ddim", 20)], rows[("dpm2m", 5)]
-    print(json.dumps({
-        "quality_matched": bool(dp5 <= d20 * 1.01),
-        "ddim20_mae": round(d20, 5), "dpm2m5_mae": round(dp5, 5),
+        calib = []
+        for tval in (t_start, t_start // 2, 5):
+            x_c = q_sample(gt[:8], noise[:8], float(np.sqrt(ab[tval])),
+                           float(np.sqrt(1.0 - ab[tval])))
+            calib.append((jnp.concatenate([x_c, cond[:8]], -1),
+                          jnp.full((x_c.shape[0],), tval, jnp.int32)))
+        qp = quantize_unet(params, calib)
+        fns["_int8"] = make_quant_denoise_fn(qp, cond)
+
+    rows = {}
+    for suffix, f in fns.items():
+        for steps in (20, 10, 5):
+            out = ddim_anchored(f, gt, key, schedule, t_start, steps,
+                                noise=noise)
+            rows[(f"ddim{suffix}", steps)] = mae(out)
+            print(json.dumps({"sampler": f"ddim{suffix}", "steps": steps,
+                              "mae": round(rows[(f"ddim{suffix}", steps)], 5)}),
+                  flush=True)
+        for steps in (10, 5):
+            grid = round_unique_grid(t_start, steps, T)
+            K = int(grid[-1])
+            x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
+                              float(np.sqrt(1.0 - ab[K])))
+            out = dpm_solver_2m(f, x_init, schedule, grid, Parameterization.EPS)
+            rows[(f"dpm2m{suffix}", steps)] = mae(out)
+            print(json.dumps({"sampler": f"dpm2m{suffix}", "steps": steps,
+                              "mae": round(rows[(f"dpm2m{suffix}", steps)], 5)}),
+                  flush=True)
+
+    d20 = rows[("ddim", 20)]
+    summary = {
+        "quality_matched": bool(rows[("dpm2m", 5)] <= d20 * 1.01),
+        "ddim20_mae": round(d20, 5),
+        "dpm2m5_mae": round(rows[("dpm2m", 5)], 5),
         "workdir": work,
-    }))
+    }
+    if args.int8:
+        summary["dpm2m5_int8_mae"] = round(rows[("dpm2m_int8", 5)], 5)
+        summary["quality_matched_int8"] = bool(
+            rows[("dpm2m_int8", 5)] <= d20 * 1.01)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
