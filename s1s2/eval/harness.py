@@ -203,6 +203,11 @@ class EvalContext:
                            float(np.sqrt(1.0 - ab[tval])))
             calib.append((jnp.concatenate([x_t, cond], -1),
                           jnp.full((n,), tval, jnp.int32)))
+            if self.cfg.guidance_scale is not None:
+                # CFG runs a null-cond pass too — calibrate its ranges
+                calib.append((jnp.concatenate(
+                    [x_t, jnp.zeros_like(cond)], -1),
+                    jnp.full((n,), tval, jnp.int32)))
         return quantize_unet(self.variables["params"], calib,
                              out_ch=self.Ct, base_ch=self.cfg.base_ch)
 
@@ -210,10 +215,14 @@ class EvalContext:
 
     def denoise_fn(self, cond: jnp.ndarray):
         if self.cfg.int8:
-            from s1s2.models.quant import make_quant_denoise_fn
+            from s1s2.models.quant import (
+                make_quant_cfg_denoise_fn,
+                make_quant_denoise_fn,
+            )
 
             if self.cfg.guidance_scale is not None:
-                raise NotImplementedError("int8 + CFG not supported yet")
+                return make_quant_cfg_denoise_fn(
+                    self.qparams, cond, self.cfg.guidance_scale)
             return make_quant_denoise_fn(self.qparams, cond)
         if self.cfg.guidance_scale is not None:
             return make_cfg_denoise_fn(

@@ -195,3 +195,23 @@ def make_quant_denoise_fn(qp: QuantParams, cond):
             [x_t.astype(jnp.float32), cond.astype(jnp.float32)], -1), t)
 
     return fn
+
+
+def make_quant_cfg_denoise_fn(qp: QuantParams, cond, guidance_scale: float,
+                              null_cond=None):
+    """Classifier-free guidance through the quantized net — same stacked
+    one-forward formulation as sampling.make_cfg_denoise_fn (cond and
+    null-cond batched together), so guidance costs one int8 forward."""
+    if null_cond is None:
+        null_cond = jnp.zeros_like(cond)
+    both = jnp.concatenate([cond, null_cond], axis=0).astype(jnp.float32)
+    g = float(guidance_scale)
+
+    def fn(x_t, t):
+        x2 = jnp.concatenate([x_t, x_t], axis=0).astype(jnp.float32)
+        t2 = jnp.concatenate([t, t], axis=0)
+        pred = quant_apply(qp, jnp.concatenate([x2, both], axis=-1), t2)
+        pc, pu = jnp.split(pred, 2, axis=0)
+        return pu + g * (pc - pu)
+
+    return fn

@@ -9,13 +9,25 @@ a 1-row halo from the padded input (kept whole in HBM/ANY; halos overlap so
 they cannot be expressed as a BlockSpec partition), runs the 9 matmuls out
 of VMEM scratch, and writes its (TH, W, Cout) tile.
 
-Status: correctness-validated in Pallas interpreter mode
-(tests/test_ops.py::TestPallasConv3x3). On this environment's axon
-remote-compile TPU path the multi-dim halo DMA pattern crashes the TPU
-worker (tools/bench_conv.py records the failure), and XLA's conv already
-runs the UNet at the MXU roofline (BENCH_NOTES.md), so the kernel is kept
-as the ops-layer reference for halo'd-DMA kernels rather than wired into
-the model. Re-evaluate on a standard TPU runtime.
+Halo-DMA pattern (r2): the padded input is pre-flattened to a 3-D
+(B·(H+2), W+2, Cin) ref and each program slices rows
+[bi·(H+2) + i·TH, …+TH+2) — a dynamic FIRST-axis slice of a 3-D ref. The
+round-1 formulation (dynamic 2nd-axis slice of a 4-D ref) CRASHED this
+environment's axon remote-compile TPU worker; the 3-D form fails cleanly
+instead (HTTP 500 from the compile helper) — an improvement, but still no
+on-chip compile. The r2 bisect (/tmp-level probes, results recorded in
+BENCH_NOTES.md) isolated the incompatibility: on this remote-compile stack
+a kernel may EITHER do manual halo DMA (DMA-only kernels compile and run —
+tools/probe_pallas_int8.py dma) OR matmul from VMEM blocks (plain-BlockSpec
+3-D dot_general compiles and runs), but any kernel combining manual DMA
+with an MXU dot fails to compile, in every formulation tried (ref-window
+reshape, 3-D dot_general, copy-to-contiguous-scratch, value-level slices).
+Since XLA's conv runs the UNet at 86% MFU and the int8 path at 92% of int8
+peak (BENCH_NOTES.md), a split two-pass Pallas conv (DMA pass + compute
+pass) would pay an extra HBM roundtrip and lose; the kernel therefore
+remains the interpreter-validated ops-layer reference
+(tests/test_ops.py::TestPallasConv3x3). Re-evaluate on a standard
+(non-remote-compile) TPU runtime.
 """
 
 from __future__ import annotations
@@ -29,14 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xp_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Cin, Cout,
-            compute_dtype):
+            Hp, compute_dtype):
     bi = pl.program_id(0)
     i = pl.program_id(1)
-    # DMA this row-tile + halo: rows [i*TH, i*TH + TH+2) of the padded image.
-    # xp stays un-blocked in ANY/HBM (halo windows overlap, which BlockSpec
-    # partitioning cannot express), so the batch is indexed here.
+    # DMA this row-tile + halo: padded-row block [bi*Hp + i*TH, ...+TH+2) of
+    # the flattened (B*Hp, W+2, Cin) input. First-axis dynamic slice of a
+    # 3-D ref — the DMA form this TPU runtime accepts (see module docstring).
     dma = pltpu.make_async_copy(
-        xp_hbm.at[bi, pl.ds(i * TH, TH + 2), :, :], scratch, sem
+        xp_hbm.at[pl.ds(bi * Hp + i * TH, TH + 2)], scratch, sem
     )
     dma.start()
     dma.wait()
@@ -63,10 +75,13 @@ def conv3x3_relu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     assert H % TH == 0, (H, TH)
     compute_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
+    Hp = H + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = xp.reshape(B * Hp, W + 2, Cin)  # batch folded into rows for the DMA
 
     kernel = functools.partial(
-        _kernel, TH=TH, W=W, Cin=Cin, Cout=Cout, compute_dtype=compute_dtype
+        _kernel, TH=TH, W=W, Cin=Cin, Cout=Cout, Hp=Hp,
+        compute_dtype=compute_dtype
     )
     return pl.pallas_call(
         kernel,

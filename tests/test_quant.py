@@ -117,3 +117,40 @@ def test_evaluate_cli_int8(tmp_path):
         "--t_start", "5", "--ddim_steps", "2", "--int8",
     ])
     assert (tmp_path / "o" / "ddim_metrics.csv").exists()
+
+
+def test_quant_cfg_denoise_matches_rule(setup):
+    """int8 CFG: pred == uncond + g*(cond - uncond) computed from two plain
+    quant forwards."""
+    import jax.numpy as jnp
+
+    from s1s2.models.quant import make_quant_cfg_denoise_fn
+
+    model, variables, x, t = setup
+    cond = x[..., 3:]
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8)
+    x_t = x[..., :3]
+    g = 2.5
+    fn = make_quant_cfg_denoise_fn(qp, cond, g)
+    got = np.asarray(fn(x_t, t))
+    pc = np.asarray(make_quant_denoise_fn(qp, cond)(x_t, t))
+    pu = np.asarray(make_quant_denoise_fn(qp, jnp.zeros_like(cond))(x_t, t))
+    np.testing.assert_allclose(got, pu + g * (pc - pu), rtol=0, atol=1e-4)
+
+
+def test_evaluate_cli_int8_cfg(tmp_path):
+    """--int8 together with --guidance_scale drives the CFG-quantized path."""
+    from s1s2.data.synthetic import make_synthetic_patches
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=2, size=16, seed=3)
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "ddim", "--patch_dir", patches, "--ckpt", "@random",
+        "--out_dir", str(tmp_path / "o"), "--T", "10", "--base_ch", "4",
+        "--pred_param", "eps", "--batch_size", "2",
+        "--t_start", "5", "--ddim_steps", "2", "--int8",
+        "--guidance_scale", "1.5",
+    ])
+    assert (tmp_path / "o" / "ddim_metrics.csv").exists()

@@ -24,14 +24,19 @@ SHAPES = [
 ]
 
 
-def bench(f, *args, iters=10):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def bench(f, x, w, b, iters=8):
+    """Per-call blocked timing with fresh inputs each call — identical-args
+    dispatch loops replay cached results on this remote runtime
+    (BENCH_NOTES.md measurement pitfalls)."""
+    jax.block_until_ready(f(x, w, b))
+    best = float("inf")
+    for i in range(1, iters + 1):
+        xi = x + jnp.bfloat16(i * 1e-3)
+        jax.block_until_ready(xi)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(xi, w, b))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -49,6 +54,14 @@ def main():
                                                    tile_rows=16))
         flops = 2 * 9 * Ci * Co * B * H * W
         try:
+            # correctness first (bf16 tolerance)
+            import numpy as np
+
+            got = np.asarray(pal(x, w, b), np.float32)
+            want = np.asarray(xla(x, w, b), np.float32)
+            scale = max(1e-6, float(np.abs(want).max()))
+            max_rel = float(np.abs(got - want).max()) / scale
+            assert max_rel < 3e-2, f"pallas/XLA mismatch rel={max_rel:.4f}"
             t_xla = bench(xla, x, w, b)
             t_pal = bench(pal, x, w, b)
             print(json.dumps({
