@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--int8", action="store_true",
                     help="quantized int8 inference (s1s2 extension; ~1.5x "
                          "sampler throughput on v5e at matched MAE)")
+    ap.add_argument("--mesh_data", type=int, default=0,
+                    help="shard eval batches over N devices' 'data' axis "
+                         "(0 = single device); batch_size must divide by N")
     return ap
 
 
@@ -114,6 +117,7 @@ def main(argv=None) -> None:
         full_metrics=args.full_metrics,
         compute_dtype=args.compute_dtype,
         int8=args.int8,
+        mesh_data=args.mesh_data,
         file_list=args.file_list,
         viz_mode=args.viz_mode,
         viz_q_low=args.viz_q_low,

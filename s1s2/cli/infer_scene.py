@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh_data", type=int, default=0,
                     help="shard tile batches over N devices' 'data' axis "
                          "(0 = single device); batch_size must divide by N")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantized int8 inference (models/quant.py); "
+                         "calibrated on the scene's first tile batch")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,9 +90,48 @@ def main(argv=None) -> None:
     ab = float(schedule.alpha_bar_np()[min(max(args.t_start, 1), args.T - 1)])
     vscale = float(np.sqrt(1.0 - ab))
 
+    qp = None
+    if args.int8:
+        from s1s2.eval.scene import normalize_tile, tile_coords
+        from s1s2.models.quant import quantize_unet
+
+        ps_, t_hi = args.patch_size, min(max(args.t_start, 1), args.T - 1)
+        coords = tile_coords(scene.shape[0], scene.shape[1], ps_, args.stride)
+        tiles = []
+        for r, c in coords[: min(8, len(coords))]:
+            t = scene[r : r + ps_, c : c + ps_].astype(np.float32)
+            if args.normalize:
+                m = (mask[r : r + ps_, c : c + ps_] if mask is not None else None)
+                t = normalize_tile(t, m)
+            tiles.append(t)
+        cond_c = jnp.asarray(np.stack(tiles))
+        n = cond_c.shape[0]
+        rng = np.random.default_rng(args.seed)
+        calib = []
+        # pure generation has no GT for q_sample: cover the trajectory's
+        # range with noise at t_hi and near-[0,1] mixtures at low t
+        for tval, amp, mu in ((t_hi, 1.0, 0.0),
+                              (max(t_hi // 2, 1), 0.6, 0.2),
+                              (5, 0.2, 0.5)):
+            x_t = (rng.standard_normal((n, ps_, ps_, args.out_ch)) * amp
+                   + mu).astype(np.float32)
+            calib.append((jnp.concatenate([jnp.asarray(x_t), cond_c], -1),
+                          jnp.full((n,), tval, jnp.int32)))
+        qp = quantize_unet(variables["params"], calib, out_ch=args.out_ch,
+                           base_ch=args.base_ch)
+
     @jax.jit
     def predict_batch(cond_b, noise_b):
-        if args.guidance_scale is not None:
+        if qp is not None:
+            from s1s2.models.quant import (
+                make_quant_cfg_denoise_fn,
+                make_quant_denoise_fn,
+            )
+
+            fn = (make_quant_cfg_denoise_fn(qp, cond_b, args.guidance_scale)
+                  if args.guidance_scale is not None
+                  else make_quant_denoise_fn(qp, cond_b))
+        elif args.guidance_scale is not None:
             fn = make_cfg_denoise_fn(model.apply, variables, cond_b,
                                      args.guidance_scale)
         else:

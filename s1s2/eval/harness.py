@@ -127,6 +127,10 @@ class EvalConfig:
     # checkpoint post-training and run the hot convs on the 2x int8 MXU
     # path. Calibrated on the first dataset batch at a spread of timesteps.
     int8: bool = False
+    # device-parallel eval (s1s2 extension): shard each eval batch over an
+    # N-device 'data' mesh so the fused samplers run SPMD. batch_size must
+    # divide by N. 0 = single device (reference behavior).
+    mesh_data: int = 0
 
 
 class EvalContext:
@@ -155,6 +159,16 @@ class EvalContext:
         self.file_idx = {f: i for i, f in enumerate(self.ds.files)}
         self.model = None
         self.variables = None
+        self.mesh = None
+        if cfg.mesh_data:
+            from s1s2.parallel import make_mesh
+
+            if cfg.batch_size % cfg.mesh_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"mesh_data {cfg.mesh_data}")
+            self.mesh = make_mesh(data=cfg.mesh_data, space=1,
+                                  devices=jax.devices()[: cfg.mesh_data])
         if cfg.ckpt:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch, compute_dtype=dtype)
@@ -210,6 +224,26 @@ class EvalContext:
                     jnp.full((n,), tval, jnp.int32)))
         return quantize_unet(self.variables["params"], calib,
                              out_ch=self.Ct, base_ch=self.cfg.base_ch)
+
+    def shard_call(self, sampler):
+        """Wrap a jitted sampler so its batch-major array args (ndim>=3)
+        land batch-sharded over the eval mesh — XLA SPMD then runs the
+        whole fused scan device-parallel. Identity when no mesh."""
+        if self.mesh is None:
+            return sampler
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bshard = NamedSharding(self.mesh, P("data"))
+
+        def wrapped(*args):
+            placed = [
+                jax.device_put(a, bshard)
+                if getattr(a, "ndim", 0) >= 3 else a
+                for a in args
+            ]
+            return sampler(*placed)
+
+        return wrapped
 
     # -- denoiser closures --
 
@@ -369,7 +403,7 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
                 x_init = noise * float(np.sqrt(1.0 - ab))
             return dpm_solver_2m(fn, x_init, ctx.schedule, grid, ctx.param)
 
-        return sample
+        return ctx.shard_call(sample)
 
     if ctx.param is Parameterization.EPS:
 
@@ -394,7 +428,7 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
                 Parameterization.V, eta=cfg.eta,
             )
 
-    return sample
+    return ctx.shard_call(sample)
 
 
 def run_ddim_sweep(ctx: EvalContext) -> Dict:
@@ -499,7 +533,7 @@ def _one_step_sampler(ctx: EvalContext, t_small: Optional[int] = None):
             fn, gt, jax.random.PRNGKey(0), ctx.schedule, t_small, ctx.param, noise=noise
         )
 
-    return sample
+    return ctx.shard_call(sample)
 
 
 def run_seed_stats(ctx: EvalContext) -> Dict:

@@ -98,3 +98,23 @@ def test_shard_predict_batch_places_on_mesh():
     with pytest.raises(ValueError, match="not divisible"):
         wrapped(np.zeros((6, 4, 4, 4), np.float32),
                 np.zeros((6, 4, 4, 2), np.float32))
+
+
+def test_scene_cli_int8(tiny_ckpt, tmp_path):
+    """--int8 quantizes the scene sampler; output stays finite/shaped."""
+    rng = np.random.default_rng(2)
+    scene = rng.standard_normal((4, 64, 80)).astype(np.float32)
+    scene_path = str(tmp_path / "scene.npy")
+    np.save(scene_path, scene)
+
+    from s1s2.cli.infer_scene import main
+
+    main(["--scene", scene_path, "--ckpt", tiny_ckpt,
+          "--out_dir", str(tmp_path / "out"),
+          "--T", "10", "--base_ch", "4", "--pred_param", "eps",
+          "--t_start", "9", "--ddim_steps", "2",
+          "--patch_size", "32", "--stride", "24", "--batch_size", "4",
+          "--int8"])
+    pred = np.load(tmp_path / "out" / "scene_pred.npy")
+    assert pred.shape == (4, 64, 80)
+    assert np.isfinite(pred).all()
