@@ -14,6 +14,7 @@ COMMANDS = {
     "convert_ckpt": "s1s2.cli.convert_ckpt",
     "validate_parity": "s1s2.cli.validate_parity",
     "make_synthetic": "s1s2.cli.make_synthetic",
+    "quantize": "s1s2.cli.quantize",
 }
 
 

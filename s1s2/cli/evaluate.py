@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--int8", action="store_true",
                     help="quantized int8 inference (s1s2 extension; ~1.5x "
                          "sampler throughput on v5e at matched MAE)")
+    ap.add_argument("--int8_ckpt", type=str, default=None,
+                    help="pre-quantized artifact from `s1s2 quantize` — "
+                         "serve int8 without recalibration (implies --int8)")
     ap.add_argument("--mesh_data", type=int, default=0,
                     help="shard eval batches over N devices' 'data' axis "
                          "(0 = single device); batch_size must divide by N")
@@ -116,7 +119,8 @@ def main(argv=None) -> None:
         zoom_k=args.zoom_k,
         full_metrics=args.full_metrics,
         compute_dtype=args.compute_dtype,
-        int8=args.int8,
+        int8=args.int8 or args.int8_ckpt is not None,
+        int8_ckpt=args.int8_ckpt,
         mesh_data=args.mesh_data,
         file_list=args.file_list,
         viz_mode=args.viz_mode,

@@ -127,6 +127,8 @@ class EvalConfig:
     # checkpoint post-training and run the hot convs on the 2x int8 MXU
     # path. Calibrated on the first dataset batch at a spread of timesteps.
     int8: bool = False
+    # pre-quantized artifact (cli/quantize.py) — load instead of calibrating
+    int8_ckpt: Optional[str] = None
     # device-parallel eval (s1s2 extension): shard each eval batch over an
     # N-device 'data' mesh so the fused samplers run SPMD. batch_size must
     # divide by N. 0 = single device (reference behavior).
@@ -169,11 +171,19 @@ class EvalContext:
                     f"mesh_data {cfg.mesh_data}")
             self.mesh = make_mesh(data=cfg.mesh_data, space=1,
                                   devices=jax.devices()[: cfg.mesh_data])
-        if cfg.ckpt:
+        if cfg.ckpt or cfg.int8_ckpt:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch, compute_dtype=dtype)
-            self.variables = self._load_ckpt(cfg.ckpt)
-            self.qparams = self._quantize() if cfg.int8 else None
+            if cfg.int8_ckpt:
+                from s1s2.models.quant import load_quant
+
+                self.qparams = load_quant(cfg.int8_ckpt)
+                # the artifact carries the full param tree; --ckpt optional
+                self.variables = (self._load_ckpt(cfg.ckpt) if cfg.ckpt
+                                  else {"params": self.qparams.params})
+            else:
+                self.variables = self._load_ckpt(cfg.ckpt)
+                self.qparams = self._quantize() if cfg.int8 else None
 
     def _load_ckpt(self, path: str):
         if path.endswith(".pth"):

@@ -197,6 +197,40 @@ def make_quant_denoise_fn(qp: QuantParams, cond):
     return fn
 
 
+def save_quant(qp: QuantParams, path: str) -> None:
+    """Serialize a quantized model (weights + scales + the bf16 residue of
+    the param tree) to one msgpack artifact, so serving skips calibration."""
+    from flax import serialization
+
+    blob = {
+        "params": jax.tree_util.tree_map(np.asarray, qp.params),
+        "w8": {k: {"q": np.asarray(q), "s": np.asarray(s)}
+               for k, (q, s) in qp.w8.items()},
+        "bias": {k: np.asarray(v) for k, v in qp.bias.items()},
+        "act_scale": {k: np.float32(v) for k, v in qp.act_scale.items()},
+        "meta": {"out_ch": np.int32(qp.out_ch),
+                 "base_ch": np.int32(qp.base_ch)},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob))
+
+
+def load_quant(path: str) -> QuantParams:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    return QuantParams(
+        params=jax.tree_util.tree_map(jnp.asarray, blob["params"]),
+        w8={k: (jnp.asarray(v["q"]), jnp.asarray(v["s"]))
+            for k, v in blob["w8"].items()},
+        bias={k: jnp.asarray(v) for k, v in blob["bias"].items()},
+        act_scale={k: float(v) for k, v in blob["act_scale"].items()},
+        out_ch=int(blob["meta"]["out_ch"]),
+        base_ch=int(blob["meta"]["base_ch"]),
+    )
+
+
 def make_quant_cfg_denoise_fn(qp: QuantParams, cond, guidance_scale: float,
                               null_cond=None):
     """Classifier-free guidance through the quantized net — same stacked

@@ -2,6 +2,8 @@
 forward skeleton vs UNetSmall, quantization error bounds, and sampler
 integration."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -152,5 +154,59 @@ def test_evaluate_cli_int8_cfg(tmp_path):
         "--pred_param", "eps", "--batch_size", "2",
         "--t_start", "5", "--ddim_steps", "2", "--int8",
         "--guidance_scale", "1.5",
+    ])
+    assert (tmp_path / "o" / "ddim_metrics.csv").exists()
+
+
+def test_save_load_quant_roundtrip(setup, tmp_path):
+    """Serialized quantized artifact reproduces the exact forward."""
+    import jax.numpy as jnp
+
+    from s1s2.models.quant import load_quant, save_quant
+
+    model, variables, x, t = setup
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8)
+    path = str(tmp_path / "m.int8.msgpack")
+    save_quant(qp, path)
+    qp2 = load_quant(path)
+    a = np.asarray(quant_apply(qp, x, t))
+    b = np.asarray(quant_apply(qp2, x, t))
+    np.testing.assert_array_equal(a, b)
+    assert qp2.out_ch == 3 and qp2.base_ch == 8
+    assert qp2.act_scale == pytest.approx(qp.act_scale)
+
+
+def test_quantize_cli_then_evaluate_int8_ckpt(tmp_path):
+    """Full production flow: quantize offline, evaluate serves the artifact
+    (no --ckpt needed, no recalibration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.models import UNetSmall
+    from s1s2.train.checkpoint import save_model
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=3)
+    model = UNetSmall(out_ch=4, base_ch=4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8)),
+                   jnp.zeros((1,), jnp.int32))
+    ckpt = str(tmp_path / "m.msgpack")
+    save_model(v["params"], ckpt)
+
+    from s1s2.cli.quantize import main as quantize_main
+
+    art = str(tmp_path / "m.int8.msgpack")
+    quantize_main(["--ckpt", ckpt, "--patch_dir", patches, "--out", art,
+                   "--T", "10", "--base_ch", "4", "--t_start", "5"])
+    assert os.path.exists(art)
+
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "ddim", "--patch_dir", patches,
+        "--out_dir", str(tmp_path / "o"), "--T", "10", "--base_ch", "4",
+        "--pred_param", "eps", "--batch_size", "2",
+        "--t_start", "5", "--ddim_steps", "2", "--int8_ckpt", art,
     ])
     assert (tmp_path / "o" / "ddim_metrics.csv").exists()
