@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh_data", type=int, default=0,
                     help="shard eval batches over N devices' 'data' axis "
                          "(0 = single device); batch_size must divide by N")
+    ap.add_argument("--cache_dir", type=str, default=None,
+                    help="decompress the npz dataset once into mmap'd .npy "
+                         "files here (multi-pass modes re-read data per "
+                         "seed/config; zlib dominates the host otherwise)")
     return ap
 
 
@@ -121,6 +125,7 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         int8=args.int8 or args.int8_ckpt is not None,
         int8_ckpt=args.int8_ckpt,
+        cache_dir=args.cache_dir,
         mesh_data=args.mesh_data,
         file_list=args.file_list,
         viz_mode=args.viz_mode,

@@ -129,6 +129,10 @@ class EvalConfig:
     int8: bool = False
     # pre-quantized artifact (cli/quantize.py) — load instead of calibrating
     int8_ckpt: Optional[str] = None
+    # decompress the npz dataset ONCE into mmap'd .npy files here — multi-
+    # pass modes (true_infer n_seeds, sweeps, ablations) re-read the data
+    # each pass and zlib inflation dominates the 1-core host otherwise
+    cache_dir: Optional[str] = None
     # device-parallel eval (s1s2 extension): shard each eval batch over an
     # N-device 'data' mesh so the fused samplers run SPMD. batch_size must
     # divide by N. 0 = single device (reference behavior).
@@ -154,6 +158,14 @@ class EvalContext:
                 raise FileNotFoundError(f"file_list entries not found: {missing[:5]}")
             self.ds.files = wanted  # exact forced order
         self.Cc, self.Ct, self.H, self.W = self.ds.probe_channels()
+        # batch source: mmap cache when configured (same files/order, so
+        # file_idx and per-file RNG are unchanged); self.ds keeps serving
+        # path()/cloud-key reads for the viz modes
+        self.eval_ds = self.ds
+        if cfg.cache_dir:
+            from s1s2.data.loader import MmapCache
+
+            self.eval_ds = MmapCache(self.ds, cfg.cache_dir)
         self.schedule = (
             Schedule.cosine(cfg.T) if cfg.schedule == "cosine" else Schedule.linear(cfg.T)
         )
@@ -331,7 +343,7 @@ def run_ddim(ctx: EvalContext) -> Dict:
     ergas_v = _vmapped(M.ergas)
 
     saved = 0
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         idxs = [ctx.file_idx[n] for n in names]  # positions for RNG
         x0 = sample_batched(
             jnp.asarray(cond), jnp.asarray(gt),
@@ -452,7 +464,7 @@ def run_ddim_sweep(ctx: EvalContext) -> Dict:
         for steps in cfg.ddim_steps_grid:
             sampler = _make_recon_sampler(ctx, t_start, steps)
             maes, mses = [], []
-            for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+            for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
                 idxs = [ctx.file_idx[n] for n in names]
                 noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
                 x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
@@ -498,7 +510,7 @@ def run_pred_diagnostics(ctx: EvalContext) -> Dict:
         return per
 
     rows, col1, col2, col3 = [], [], [], []
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         idxs = [ctx.file_idx[n] for n in names]
         noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
         out = diag(jnp.asarray(cond), jnp.asarray(gt), noise)
@@ -553,7 +565,7 @@ def run_seed_stats(ctx: EvalContext) -> Dict:
     sampler = _one_step_sampler(ctx)
     per_file: Dict[str, List[Tuple[float, float]]] = {}
     for s in range(cfg.n_seeds):
-        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
             noise = ctx.per_file_noise(
                 idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=1000 + s
@@ -597,7 +609,7 @@ def run_per_band(ctx: EvalContext) -> Dict:
     band_accum: Dict[int, List[Tuple[float, float, float, float]]] = {}
     rows = []
     saved = 0
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         idxs = [ctx.file_idx[n] for n in names]
         noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=7)
         x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
@@ -663,7 +675,7 @@ def run_ablate(ctx: EvalContext) -> Dict:
     rows = []
     ch_stats: Dict[int, List[Tuple[float, float, float, float]]] = {}
     t_small = max(1, min(cfg.t_small, cfg.T - 1))
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         # reference uses ONE fixed seed for every file in ablate mode
         noise = ctx.per_file_noise([0] * cfg.batch_size, salt=99)
         cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
@@ -712,7 +724,7 @@ def run_tsweep(ctx: EvalContext) -> Dict:
     results: Dict[int, List[float]] = {}
     samplers = {int(t): _one_step_sampler(ctx, int(t)) for t in cfg.t_values}
     saved = 0
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         noise = ctx.per_file_noise([0] * cfg.batch_size, salt=99)  # fixed noise
         cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
         outs = {}
@@ -783,7 +795,7 @@ def run_true_infer(ctx: EvalContext) -> Dict:
 
     per_file: Dict[str, List[Tuple[float, ...]]] = {}
     for s in range(max(1, cfg.n_seeds)):
-        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
             noise = ctx.per_file_noise(
                 idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=5000 + s
@@ -836,7 +848,7 @@ def run_onestep(ctx: EvalContext) -> Dict:
     """t=0 identity + one-step@t_small sanity check with previews
     (`Evaluation/Onestep.py:93-175`, v twin with fixed-range viz)."""
     cfg = ctx.cfg
-    (cond, gt, mask), names, n_valid = next(iter(eval_batches(ctx.ds, cfg.batch_size)))
+    (cond, gt, mask), names, n_valid = next(iter(eval_batches(ctx.eval_ds, cfg.batch_size)))
     cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
 
     # (A) t=0 identity: x0̂ == x_t == GT by schedule algebra
@@ -935,7 +947,7 @@ def run_limitation(ctx: EvalContext) -> Dict:
     base_key = jax.random.PRNGKey(cfg.seed_base)
     first_batch = None
     for bi, ((cond, gt, mask), names, n_valid) in enumerate(
-        eval_batches(ctx.ds, cfg.batch_size)
+        eval_batches(ctx.eval_ds, cfg.batch_size)
     ):
         x0 = sample(jnp.asarray(cond), jax.random.fold_in(base_key, bi))
         gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
@@ -1017,7 +1029,7 @@ def run_night_demo(ctx: EvalContext) -> Dict:
     """GT-free generation panels (`Evaluation/Comparison_Original.py:603-612`)."""
     cfg = ctx.cfg
     n = 0
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         idxs = [ctx.file_idx[nm] for nm in names]
         noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
 
@@ -1076,7 +1088,7 @@ def run_baseline(ctx: EvalContext, kind: str) -> Dict:
     cfg = ctx.cfg
     psnr_v, sam_v, ergas_v = _vmapped(M.psnr), _vmapped(M.sam), _vmapped(M.ergas)
     rows, agg = [], {k: [] for k in ("mae", "mse", "psnr", "sam", "ergas")}
-    for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+    for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
         if kind == "bicubic":
             pred = baseline_bicubic(gt_j)
@@ -1144,7 +1156,7 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
 
         maes, mses, psnrs = [], [], []
         psnr_v = _vmapped(M.psnr)
-        for (cond, gt, mask), names, n_valid in eval_batches(ctx.ds, cfg.batch_size):
+        for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
             noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
             x0 = generate(jnp.asarray(cond), noise)

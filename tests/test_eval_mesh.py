@@ -54,3 +54,21 @@ def test_mesh_eval_rejects_bad_batch(patches, tmp_path):
               "--T", "10", "--base_ch", "4", "--batch_size", "3",
               "--t_start", "5", "--ddim_steps", "2",
               "--out_dir", str(tmp_path / "x"), "--mesh_data", "4"])
+
+
+def test_eval_cache_dir_identical(patches, tmp_path):
+    """--cache_dir serves mmap'd batches; metrics identical to npz reads."""
+    from s1s2.cli.evaluate import main
+
+    common = ["--mode", "true_infer", "--patch_dir", patches,
+              "--ckpt", "@random", "--T", "10", "--base_ch", "4",
+              "--pred_param", "eps", "--batch_size", "4",
+              "--t_start", "9", "--ddim_steps", "2", "--n_seeds", "2",
+              "--compute_dtype", "float32"]
+    main(common + ["--out_dir", str(tmp_path / "npz")])
+    main(common + ["--out_dir", str(tmp_path / "cached"),
+                   "--cache_dir", str(tmp_path / "cache")])
+    a = (tmp_path / "npz" / "ddim_true_infer_summary.txt").read_text()
+    b = (tmp_path / "cached" / "ddim_true_infer_summary.txt").read_text()
+    assert a == b
+    assert (tmp_path / "cache" / "cond.npy").exists()
