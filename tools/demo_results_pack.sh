@@ -28,3 +28,7 @@ python -m s1s2.cli.evaluate --mode baseline_bicubic --patch_dir $P \
 python -m s1s2.cli.evaluate --mode baseline_linear --patch_dir $P \
     --out_dir $OUT/Baselines --batch_size 16 --max_files 32
 echo "RESULTS PACK DONE: $OUT"
+
+# round-2: int8 quantized variant of the headline ddim mode
+python -m s1s2.cli.evaluate --mode ddim $COMMON --out_dir $OUT/DDIM_int8 \
+    --t_start 200 --ddim_steps 20 --max_files 48 --full_metrics --int8
