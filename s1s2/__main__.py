@@ -15,6 +15,7 @@ COMMANDS = {
     "validate_parity": "s1s2.cli.validate_parity",
     "make_synthetic": "s1s2.cli.make_synthetic",
     "quantize": "s1s2.cli.quantize",
+    "distill": "s1s2.cli.distill",
 }
 
 

@@ -1,0 +1,97 @@
+"""Progressive step-distillation CLI (s1s2 extension — no reference analog;
+the reference's few-step story is DDIM with fewer steps,
+`Evaluation/DDIM_Sweep.py:386-416`).
+
+Distills a trained ε- or v-checkpoint into a few-step (default 1-step)
+ε-student for the anchored-DDIM grid, saving a standard s1s2 msgpack
+checkpoint that every eval/inference CLI accepts (run it with
+``evaluate --mode ddim --steps <final_steps>``).
+
+    python -m s1s2 distill --patch_dir P --teacher out/model.msgpack \
+        --model_path out/distilled.msgpack --t_start 200 \
+        --teacher_steps 16 --final_steps 1 --epochs_per_phase 4
+"""
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("s1s2 distill")
+    ap.add_argument("--patch_dir", type=str, required=True)
+    ap.add_argument("--teacher", type=str, required=True,
+                    help="teacher checkpoint (.msgpack or reference .pth)")
+    ap.add_argument("--model_path", type=str, required=True,
+                    help="output .msgpack for the distilled student")
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--t_start", type=int, default=200,
+                    help="top of the anchored-DDIM grid being distilled")
+    ap.add_argument("--teacher_steps", type=int, default=16)
+    ap.add_argument("--final_steps", type=int, default=1)
+    ap.add_argument("--epochs_per_phase", type=int, default=4)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=1e-4)
+    ap.add_argument("--grad_clip", type=float, default=0.5)
+    ap.add_argument("--ema_decay", type=float, default=0.999)
+    ap.add_argument("--teacher_param", choices=["eps", "v"], default="eps")
+    ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--max_patches", type=int, default=None)
+    ap.add_argument("--schedule", choices=["cosine", "linear"], default="cosine")
+    ap.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
+    ap.add_argument("--mask_as_weights", action="store_true")
+    ap.add_argument("--seed", type=int, default=1337)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from s1s2.core import Schedule
+    from s1s2.data.dataset import NpzPatchDataset
+    from s1s2.data.loader import batch_iterator
+    from s1s2.models import UNetSmall
+    from s1s2.train.checkpoint import load_any_checkpoint, save_model
+    from s1s2.train.distill import DistillConfig, progressive_distill
+
+    ds = NpzPatchDataset(args.patch_dir, max_files=args.max_patches)
+    Cc, Ct, H, W = ds.probe_channels()
+    schedule = (Schedule.cosine(args.T) if args.schedule == "cosine"
+                else Schedule.linear(args.T))
+    model = UNetSmall(
+        out_ch=Ct, base_ch=args.base_ch,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
+        else jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, H, W, Cc + Ct), jnp.float32), jnp.zeros((1,), jnp.int32))
+    teacher = load_any_checkpoint(args.teacher, template=variables["params"])
+
+    cfg = DistillConfig(
+        T=args.T, t_start=args.t_start, teacher_steps=args.teacher_steps,
+        final_steps=args.final_steps, epochs_per_phase=args.epochs_per_phase,
+        lr=args.lr, weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        ema_decay=args.ema_decay, teacher_param=args.teacher_param,
+        mask_as_weights=args.mask_as_weights)
+
+    def batches(phase, epoch):
+        return batch_iterator(ds, args.batch_size, shuffle=True,
+                              drop_last=True, seed=args.seed,
+                              epoch=phase * 10_000 + epoch)
+
+    result = progressive_distill(
+        model.apply, schedule, cfg, teacher, batches,
+        progress=lambda d: print(json.dumps(d), flush=True))
+    save_model(result["params"], args.model_path)
+    print(json.dumps({
+        "saved": args.model_path, "final_steps": int(result["steps"]),
+        "phases": [h["student_steps"] for h in result["phase_history"]],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,334 @@
+"""Progressive step distillation (Salimans & Ho, 2022) for the anchored-DDIM
+sampler — the framework's path past the single-chip diffusion roofline.
+
+The reference project has no distillation (its throughput story is "run DDIM
+for fewer steps", `Evaluation/DDIM_Sweep.py:386-416`); this is an s1s2
+extension targeting the BASELINE.json north star (≥500 patches/s/chip at
+reconstruction quality): a student trained so that ONE deterministic DDIM
+step reproduces TWO teacher steps halves the sampler's UNet calls per phase,
+down to a 1-step model that `ddim_anchored(..., steps=1)` drives unchanged.
+
+Design notes (TPU-first):
+* One fused jitted distill step: q_sample → 2 teacher forwards → exact
+  algebraic inversion of the sampler update → student fwd/bwd → AdamW → EMA,
+  with the same on-device NaN guard as `s1s2.train.loop`.
+* The student keeps the ε head and the *linspace* grid convention
+  (`Evaluation/DDIM_Multi-step.py:124-134`), so every existing sampler,
+  eval mode, checkpoint format and the int8 quantizer apply to the distilled
+  model with no new code paths.
+* The ε-target inverts the EXACT eval-time update including its
+  `√(ᾱ+1e-8)` guard (`s1s2.core.parametrize.x0_from_eps`): if the student
+  emitted the target exactly, `ddim_anchored`'s one step would land exactly
+  on the teacher's two-step output.
+* Loss: truncated-SNR-weighted x0-space MSE, w = max(SNR(t), 1) — the
+  paper's weighting, masked per pixel like all s1s2 losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from s1s2.core.parametrize import (
+    Parameterization,
+    pred_to_x0_eps,
+    q_sample,
+    snr,
+    x0_from_eps,
+)
+from s1s2.core.schedule import Schedule
+from s1s2.sampling.grids import linspace_grid
+from s1s2.train.loop import TrainState
+
+
+# ---------------------------------------------------------------------------
+# grids + target algebra
+# ---------------------------------------------------------------------------
+
+
+def distill_grids(t_start: int, student_steps: int, T: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(student_grid, teacher_grid): teacher = 2× refinement of the student's
+    descending linspace grid, sharing every student point.
+
+    teacher_grid[2i] == student_grid[i] exactly in real arithmetic
+    (linspace at even indices); the truncating int cast can differ by at most
+    1 in degenerate float cases, so the student grid is *derived from* the
+    teacher grid to guarantee alignment. For the (t_start, steps) pairs used
+    in practice it equals `linspace_grid(t_start, student_steps, T)` — the
+    grid `ddim_anchored` will use at eval time (asserted in tests).
+    """
+    tg = linspace_grid(t_start, 2 * student_steps, T)
+    return tg[::2].copy(), tg
+
+
+def ddim_step_exact(x_t, eps, sab_cur, s1mab_cur, sab_next, s1mab_next):
+    """One anchored-DDIM update, bit-identical to the `_ddim_linspace_scan`
+    body (`s1s2/sampling/samplers.py`): x0̂ via the guarded divide, then
+    re-noise to the next grid point. Per-sample (B,) coefficients."""
+    x0_hat = x0_from_eps(x_t, eps, sab_cur, s1mab_cur)
+    return q_sample(x0_hat, eps, sab_next, s1mab_next), x0_hat
+
+
+def invert_ddim_step(x_t, x_next, sab_cur, s1mab_cur, sab_next, s1mab_next):
+    """Solve for the (ε, x0) a ONE-step anchored-DDIM update would need to
+    map x_t → x_next — the distillation target.
+
+    Inverts `ddim_step_exact` including its √(ᾱ+1e-8) guard:
+        x_next = (√ᾱ_n/g)·x_t + (√(1−ᾱ_n) − √ᾱ_n·√(1−ᾱ_t)/g)·ε,
+        g = √(ᾱ_t + 1e-8).
+    The ε coefficient is < 0 and bounded away from 0 whenever t > t_next, so
+    the solve is exact (verified round-trip in tests/test_distill.py).
+    """
+
+    def bc(c, like):
+        c = jnp.asarray(c, jnp.float32)
+        return c.reshape(c.shape + (1,) * (like.ndim - c.ndim))
+
+    x_t = x_t.astype(jnp.float32)
+    x_next = x_next.astype(jnp.float32)
+    g = jnp.sqrt(bc(sab_cur, x_t) ** 2 + 1e-8)
+    a = bc(sab_next, x_t) / g
+    denom = bc(s1mab_next, x_t) - a * bc(s1mab_cur, x_t)
+    eps_tgt = (x_next - a * x_t) / denom
+    x0_tgt = (x_t - bc(s1mab_cur, x_t) * eps_tgt) / g
+    return eps_tgt, x0_tgt
+
+
+# ---------------------------------------------------------------------------
+# config / step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Hyperparameters for one progressive-distillation run.
+
+    The defaults follow the s1s2 trainer where shared (AdamW, clip 0.5, EMA
+    0.999 — `Train_Orignal.py:262,307-310` lineage) and Salimans & Ho where
+    distillation-specific (truncated-SNR x0 loss, student init from teacher,
+    step halving)."""
+
+    T: int = 1000
+    t_start: int = 200          # top of the sampling grid being distilled
+    teacher_steps: int = 16     # starting sampler budget (halved per phase)
+    final_steps: int = 1
+    epochs_per_phase: int = 4
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 0.5
+    ema_decay: float = 0.999
+    teacher_param: str = "eps"  # what the INITIAL teacher predicts
+    mask_as_weights: bool = False
+
+    def phase_steps(self) -> Tuple[int, ...]:
+        """Student budgets per phase: teacher_steps/2, /4, …, final_steps."""
+        out, s = [], self.teacher_steps
+        while s > self.final_steps:
+            s //= 2
+            out.append(max(s, self.final_steps))
+        return tuple(out)
+
+
+def make_distill_optimizer(cfg: DistillConfig) -> optax.GradientTransformation:
+    txs = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        txs.append(optax.clip_by_global_norm(cfg.grad_clip))
+    txs.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+    return optax.chain(*txs)
+
+
+def create_distill_state(params, cfg: DistillConfig) -> TrainState:
+    """Student state initialized FROM the teacher parameters (the paper's
+    init; also how each phase chains into the next)."""
+    tx = make_distill_optimizer(cfg)
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        skipped=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_distill_step(
+    apply_fn: Callable,
+    schedule: Schedule,
+    cfg: DistillConfig,
+    student_steps: int,
+    teacher_param: Optional[str] = None,
+) -> Callable:
+    """Build ``step(state, teacher_params, batch, key) -> (state, metrics)``
+    distilling a 2·student_steps teacher into a student_steps ε-student.
+
+    Per batch sample: draw a grid segment i, build x_t at grid[i] by forward
+    diffusion of the data x0, roll the (frozen) teacher TWO sampler steps to
+    grid[i+1], invert the one-step update to get the ε the student must emit,
+    and take a masked truncated-SNR-weighted x0-MSE gradient step. Teacher
+    and student share ``apply_fn`` (same architecture).
+    """
+    tx = make_distill_optimizer(cfg)
+    t_param = Parameterization(teacher_param or cfg.teacher_param)
+    sg, tg = distill_grids(cfg.t_start, student_steps, cfg.T)
+    N = student_steps
+
+    ab = schedule.alpha_bar_np().astype(np.float64)
+
+    def tab(idx):  # (len,) host tables → jnp constants
+        a = ab[idx]
+        return (jnp.asarray(np.sqrt(a), jnp.float32),
+                jnp.asarray(np.sqrt(1.0 - a), jnp.float32))
+
+    t_cur_tab = jnp.asarray(sg[:-1], jnp.int32)        # (N,)
+    t_mid_tab = jnp.asarray(tg[1::2], jnp.int32)       # (N,)
+    sab_cur_tab, s1mab_cur_tab = tab(sg[:-1])
+    sab_mid_tab, s1mab_mid_tab = tab(tg[1::2])
+    sab_next_tab, s1mab_next_tab = tab(sg[1:])
+    ab_cur_tab = jnp.asarray(ab[sg[:-1]], jnp.float32)
+
+    def teacher_two_steps(teacher_params, cond, x_t, t_cur, t_mid, coefs):
+        sab_c, s1mab_c, sab_m, s1mab_m, sab_n, s1mab_n = coefs
+        pred1 = apply_fn({"params": teacher_params},
+                         jnp.concatenate([x_t, cond], axis=-1), t_cur)
+        x0_1, eps1 = pred_to_x0_eps(t_param, x_t, pred1, sab_c, s1mab_c)
+        x_mid = q_sample(x0_1, eps1, sab_m, s1mab_m)
+        pred2 = apply_fn({"params": teacher_params},
+                         jnp.concatenate([x_mid, cond], axis=-1), t_mid)
+        x0_2, eps2 = pred_to_x0_eps(t_param, x_mid, pred2, sab_m, s1mab_m)
+        return q_sample(x0_2, eps2, sab_n, s1mab_n)
+
+    def loss_fn(params, teacher_params, cond, x0, mask, i, noise):
+        take = lambda t: jnp.take(t, i, axis=0)  # (B,) gathers of tiny tables
+        t_cur, t_mid = take(t_cur_tab), take(t_mid_tab)
+        coefs = tuple(take(t) for t in (
+            sab_cur_tab, s1mab_cur_tab, sab_mid_tab, s1mab_mid_tab,
+            sab_next_tab, s1mab_next_tab))
+        sab_c, s1mab_c, sab_n, s1mab_n = coefs[0], coefs[1], coefs[4], coefs[5]
+
+        x_t = q_sample(x0, noise, sab_c, s1mab_c)
+        x_next = jax.lax.stop_gradient(
+            teacher_two_steps(teacher_params, cond, x_t, t_cur, t_mid, coefs))
+        eps_tgt, x0_tgt = invert_ddim_step(
+            x_t, x_next, sab_c, s1mab_c, sab_n, s1mab_n)
+        eps_tgt = jax.lax.stop_gradient(eps_tgt)
+        x0_tgt = jax.lax.stop_gradient(x0_tgt)
+
+        pred = apply_fn({"params": params},
+                        jnp.concatenate([x_t, cond], axis=-1), t_cur)
+        x0_pred, eps_pred = pred_to_x0_eps(
+            Parameterization.EPS, x_t, pred, sab_c, s1mab_c)
+
+        # truncated-SNR weighting: w = max(SNR(t), 1) on the x0-space error
+        w = jnp.clip(snr(take(ab_cur_tab)), 1.0, None)  # (B,)
+        m = mask[..., None].astype(jnp.float32)  # (B,H,W,1)
+        if cfg.mask_as_weights:
+            m = m / jnp.clip(m.mean(), 1e-6, None)
+        else:
+            m = (m > 0).astype(jnp.float32)
+        err2 = m * (x0_pred - x0_tgt) ** 2  # (B,H,W,C)
+        denom = jnp.clip(m.sum(axis=(1, 2, 3)), 1e-6, None) * x0.shape[-1]
+        per_sample = err2.sum(axis=(1, 2, 3)) / denom  # (B,)
+        loss = (w * per_sample).mean()
+
+        ch = err2.sum(axis=(0, 1, 2)) / jnp.clip(
+            m.sum() * jnp.float32(1.0), 1e-6, None)  # per-channel diagnostics
+        eps_mse = (m * (eps_pred - eps_tgt) ** 2).sum() / jnp.clip(
+            m.sum() * x0.shape[-1], 1e-6, None)
+        return loss, (ch, eps_mse)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    decay = cfg.ema_decay
+
+    def step(state: TrainState, teacher_params, batch, key: jax.Array):
+        cond, x0, mask = batch
+        B = x0.shape[0]
+        k_i, k_noise = jax.random.split(jax.random.fold_in(key, state.step))
+        i = jax.random.randint(k_i, (B,), 0, N)
+        noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
+
+        (loss, (ch, eps_mse)), grads = grad_fn(
+            state.params, teacher_params, cond, x0, mask, i, noise)
+
+        finite_in = jnp.isfinite(cond).all() & jnp.isfinite(x0).all()
+        finite_g = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True))
+        ok = finite_in & jnp.isfinite(loss) & finite_g
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        new_params = sel(new_params, state.params)
+        new_opt = sel(new_opt, state.opt_state)
+        new_ema = sel(
+            jax.tree_util.tree_map(
+                lambda p, e: (1.0 - decay) * p + decay * e,
+                new_params, state.ema_params),
+            state.ema_params)
+
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema,
+            skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32))
+        metrics = {"loss": jnp.where(ok, loss, jnp.nan), "ch_losses": ch,
+                   "eps_mse": eps_mse, "skipped": new_state.skipped}
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# progressive driver
+# ---------------------------------------------------------------------------
+
+
+def progressive_distill(
+    apply_fn: Callable,
+    schedule: Schedule,
+    cfg: DistillConfig,
+    teacher_params: Any,
+    batches: Callable[[int, int], Iterable],
+    progress: Optional[Callable[[dict], None]] = None,
+    jit: bool = True,
+) -> dict:
+    """Halve the sampler budget phase by phase: teacher_steps → … → final_steps.
+
+    ``batches(phase, epoch)`` yields (cond, x0, mask) NHWC batches. Each
+    phase's student initializes from (and distills against) the previous
+    phase's EMA weights. Returns {'params': final EMA student,
+    'phase_history': [...], 'steps': final_steps}.
+    """
+    teacher = teacher_params
+    t_param = cfg.teacher_param
+    history = []
+    for phase, s_steps in enumerate(cfg.phase_steps()):
+        step_fn = make_distill_step(apply_fn, schedule, cfg, s_steps,
+                                    teacher_param=t_param)
+        if jit:
+            step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        state = create_distill_state(teacher, cfg)
+        key = jax.random.PRNGKey(1000 + phase)
+        losses = []
+        for epoch in range(1, cfg.epochs_per_phase + 1):
+            running, n = 0.0, 0
+            for batch in batches(phase, epoch):
+                state, metrics = step_fn(state, teacher, batch, key)
+                v = float(metrics["loss"])
+                if np.isfinite(v):
+                    running += v
+                    n += 1
+            losses.append(running / max(1, n))
+            if progress:
+                progress({"phase": phase, "student_steps": s_steps,
+                          "epoch": epoch, "loss": losses[-1],
+                          "skipped": int(state.skipped)})
+        teacher = state.ema_params
+        t_param = "eps"  # all students have the ε head
+        history.append({"student_steps": s_steps, "epoch_loss": losses})
+    return {"params": teacher, "phase_history": history,
+            "steps": cfg.phase_steps()[-1] if history else cfg.teacher_steps}

@@ -1,0 +1,206 @@
+"""Progressive step distillation (s1s2.train.distill).
+
+Core correctness is algebraic and exactly testable:
+* the teacher/student grids must interleave (teacher = 2× refinement),
+* `invert_ddim_step` must exactly invert the sampler update, and
+* a student that emits the inverted ε must make `ddim_anchored(steps=N)`
+  land on the teacher's 2N-step trajectory point.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from s1s2.core import Schedule
+from s1s2.core.parametrize import q_sample
+from s1s2.sampling import ddim_anchored
+from s1s2.sampling.grids import linspace_grid
+from s1s2.train.distill import (
+    DistillConfig,
+    create_distill_state,
+    ddim_step_exact,
+    distill_grids,
+    invert_ddim_step,
+    make_distill_step,
+    progressive_distill,
+)
+
+
+def test_phase_steps_halving():
+    assert DistillConfig(teacher_steps=16, final_steps=1).phase_steps() == (
+        8, 4, 2, 1)
+    assert DistillConfig(teacher_steps=8, final_steps=2).phase_steps() == (4, 2)
+    assert DistillConfig(teacher_steps=2, final_steps=1).phase_steps() == (1,)
+
+
+def test_distill_grids_align_with_sampler_grid():
+    T = 1000
+    for t_start in (200, 999, 100):
+        for n in (16, 8, 4, 2, 1):
+            sg, tg = distill_grids(t_start, n, T)
+            assert len(sg) == n + 1 and len(tg) == 2 * n + 1
+            assert (tg[::2] == sg).all()
+            # the grid ddim_anchored will use at eval time
+            assert (sg == linspace_grid(t_start, n, T)).all(), (t_start, n)
+            assert sg[0] == min(t_start, T - 1) and sg[-1] == 0
+
+
+def test_invert_ddim_step_roundtrip(rng):
+    schedule = Schedule.cosine(1000)
+    ab = schedule.alpha_bar_np()
+    t_cur = np.array([200, 150], np.int64)
+    t_next = np.array([100, 75], np.int64)
+    sab_c = np.sqrt(ab[t_cur]).astype(np.float32)
+    s1mab_c = np.sqrt(1 - ab[t_cur]).astype(np.float32)
+    sab_n = np.sqrt(ab[t_next]).astype(np.float32)
+    s1mab_n = np.sqrt(1 - ab[t_next]).astype(np.float32)
+
+    x_t = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    x_next, x0_hat = ddim_step_exact(x_t, eps, sab_c, s1mab_c, sab_n, s1mab_n)
+    eps_rec, x0_rec = invert_ddim_step(x_t, x_next, sab_c, s1mab_c,
+                                       sab_n, s1mab_n)
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(eps),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0_hat),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_inverted_eps_reproduces_teacher_point_through_sampler(rng):
+    """A student that emits the inverted ε makes ddim_anchored(steps=1)
+    output exactly the x0 consistent with the teacher's landing point —
+    validates coefficient/grid agreement between distill tables and the
+    production sampler."""
+    schedule = Schedule.cosine(1000)
+    t_start = 200
+    sg, _ = distill_grids(t_start, 1, 1000)
+    ab = schedule.alpha_bar_np()
+    sab_c = np.float32(np.sqrt(ab[sg[0]]))
+    s1mab_c = np.float32(np.sqrt(1 - ab[sg[0]]))
+    sab_n = np.float32(np.sqrt(ab[sg[1]]))
+    s1mab_n = np.float32(np.sqrt(1 - ab[sg[1]]))
+
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    x_t = q_sample(gt, noise, sab_c, s1mab_c)
+    x_next = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32) * 0.3
+    eps_tgt, x0_tgt = invert_ddim_step(
+        x_t, x_next,
+        np.full((2,), sab_c), np.full((2,), s1mab_c),
+        np.full((2,), sab_n), np.full((2,), s1mab_n))
+
+    out = ddim_anchored(lambda x, t: eps_tgt, gt, jax.random.PRNGKey(0),
+                        schedule, t_start=t_start, steps=1, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(out), np.clip(np.asarray(x0_tgt), 0.0, 1.0),
+        rtol=1e-4, atol=1e-5)
+
+
+def _tiny_setup(rng, base_ch=4, H=16, W=16, Cc=3, Ct=2, B=4):
+    from s1s2.models import UNetSmall
+
+    model = UNetSmall(out_ch=Ct, base_ch=base_ch, compute_dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, Cc + Ct), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
+    batch = (
+        jnp.asarray(rng.standard_normal((B, H, W, Cc)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (B, H, W, Ct)), jnp.float32),
+        jnp.ones((B, H, W), jnp.float32),
+    )
+    return model, variables["params"], batch
+
+
+def test_distill_step_updates_and_stays_finite(rng):
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, teacher_steps=4, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng)
+    step = jax.jit(make_distill_step(model.apply, schedule, cfg,
+                                     student_steps=2))
+    state = create_distill_state(teacher, cfg)
+    for k in range(3):
+        state, metrics = step(state, teacher, batch, jax.random.PRNGKey(7))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["eps_mse"]))
+    assert int(state.skipped) == 0
+    # params moved away from the teacher init
+    d = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x[0] - x[1]).sum()),
+        jax.tree_util.tree_map(lambda a, b: (a, b), state.params, teacher),
+        0.0)
+    assert d > 0
+
+
+def test_distill_step_nan_batch_skipped(rng):
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, teacher_steps=4)
+    model, teacher, batch = _tiny_setup(rng)
+    bad = (batch[0].at[0, 0, 0, 0].set(jnp.nan), batch[1], batch[2])
+    step = jax.jit(make_distill_step(model.apply, schedule, cfg, 2))
+    state = create_distill_state(teacher, cfg)
+    state, metrics = step(state, teacher, bad, jax.random.PRNGKey(0))
+    assert int(state.skipped) == 1
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.array_equal(a, b)), state.params, teacher))
+    assert same
+
+
+def test_progressive_distill_end_to_end(rng):
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, teacher_steps=4, final_steps=1,
+                        epochs_per_phase=2, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    logs = []
+    result = progressive_distill(
+        model.apply, schedule, cfg, teacher,
+        batches=lambda phase, epoch: [batch, batch],
+        progress=logs.append)
+    assert result["steps"] == 1
+    assert [h["student_steps"] for h in result["phase_history"]] == [2, 1]
+    assert all(np.isfinite(v) for h in result["phase_history"]
+               for v in h["epoch_loss"])
+    assert len(logs) == 4  # 2 phases × 2 epochs
+    # the distilled student is a drop-in ε-model for the production sampler
+    out = ddim_anchored(
+        lambda x, t: model.apply({"params": result["params"]},
+                                 jnp.concatenate([x, batch[0]], -1), t),
+        batch[1], jax.random.PRNGKey(3), schedule, t_start=50, steps=1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert out.shape == batch[1].shape
+
+
+def test_distill_cli_smoke(tmp_path, rng):
+    """End-to-end CLI: make synthetic patches, train 1 epoch, distill 2→1,
+    then evaluate the student with the standard eval CLI."""
+    from s1s2.cli import distill as cli_distill
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.train.checkpoint import load_any_checkpoint
+    from s1s2.train.loop import TrainConfig
+    from s1s2.train.trainer import RunConfig, train_loop
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=6, size=16, seed=0)
+    teacher_path = str(tmp_path / "teacher.msgpack")
+    train_loop(RunConfig(patch_dir=patches, model_path=teacher_path,
+                         epochs=1, batch_size=2, base_ch=4,
+                         compute_dtype="float32"),
+               TrainConfig(T=50, pred_param="eps"))
+    student_path = str(tmp_path / "student.msgpack")
+    cli_distill.main([
+        "--patch_dir", patches, "--teacher", teacher_path,
+        "--model_path", student_path, "--T", "50", "--t_start", "25",
+        "--teacher_steps", "2", "--final_steps", "1",
+        "--epochs_per_phase", "1", "--batch_size", "2", "--base_ch", "4",
+        "--compute_dtype", "float32",
+    ])
+    from s1s2.models import UNetSmall
+
+    model = UNetSmall(out_ch=4, base_ch=4, compute_dtype=jnp.float32)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"]
+    params = load_any_checkpoint(student_path, template=template)
+    assert np.isfinite(
+        float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.abs(x).sum(), params, jnp.float32(0.0))))
