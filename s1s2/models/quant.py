@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _BLOCKS = ("down1", "down2", "down3", "conv3", "conv2", "conv1")
+_UPS = ("up3", "up2", "up1")
 
 
 @dataclasses.dataclass
@@ -55,13 +56,18 @@ def _conv_names():
             yield f"{blk}/{c}"
 
 
-def quantize_weights(params) -> Tuple[Dict, Dict]:
-    """Per-output-channel symmetric int8 for every double-conv kernel."""
+def quantize_weights(params, quant_up: bool = False) -> Tuple[Dict, Dict]:
+    """Per-output-channel symmetric int8 for every double-conv kernel
+    (+ the 2×2 transposed-conv kernels when ``quant_up``)."""
     w8, bias = {}, {}
-    for name in _conv_names():
-        blk, c = name.split("/")
-        p = params[blk][c]
-        w = np.asarray(p["kernel"], np.float32)  # (3,3,Ci,Co)
+    names = list(_conv_names()) + (list(_UPS) if quant_up else [])
+    for name in names:
+        if "/" in name:
+            blk, c = name.split("/")
+            p = params[blk][c]
+        else:
+            p = params[name]
+        w = np.asarray(p["kernel"], np.float32)  # (3,3,Ci,Co) / (2,2,Ci,Co)
         sw = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
         sw = np.maximum(sw, 1e-12)
         q = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
@@ -134,17 +140,35 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
         x = block_conv(x, f"{blk}/conv1")
         return block_conv(x, f"{blk}/conv2")
 
+    def up_conv(x, name):
+        p = params[name]
+        if mode == "calib":
+            records[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            return _convt_2x2(x, p["kernel"], p["bias"])
+        if name not in qp.w8:  # default: transposed convs stay bf16
+            return _convt_2x2(x, p["kernel"], p["bias"])
+        w8, sw = qp.w8[name]
+        sx = qp.act_scale[name]
+        x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                      ).astype(jnp.int8)
+        acc = jax.lax.conv_transpose(
+            x8, w8, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=False, preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (sx * sw) + qp.bias[name]
+        return y.astype(dt)
+
     e1 = jax.nn.relu(_conv_bf16(x, params["inc"]["kernel"],
                                 params["inc"]["bias"]))
     e2 = _pool(block(e1, "down1"))
     e3 = _pool(block(e2, "down2"))
     e4 = _pool(block(e3, "down3"))
 
-    u3 = _convt_2x2(e4, params["up3"]["kernel"], params["up3"]["bias"])
+    u3 = up_conv(e4, "up3")
     d3 = block(jnp.concatenate([u3, e3], -1), "conv3")
-    u2 = _convt_2x2(d3, params["up2"]["kernel"], params["up2"]["bias"])
+    u2 = up_conv(d3, "up2")
     d2 = block(jnp.concatenate([u2, e2], -1), "conv2")
-    u1 = _convt_2x2(d2, params["up1"]["kernel"], params["up1"]["bias"])
+    u1 = up_conv(d2, "up1")
     d1 = block(jnp.concatenate([u1, e1], -1), "conv1")
 
     out = _conv_bf16(d1, params["outc"]["kernel"], params["outc"]["bias"])
@@ -175,9 +199,14 @@ def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96) -> Dict[str, 
 
 
 def quantize_unet(params, calib_batches, out_ch: int = 4,
-                  base_ch: int = 96) -> QuantParams:
-    """One-call post-training quantization of a trained UNetSmall."""
-    w8, bias = quantize_weights(params)
+                  base_ch: int = 96, quant_up: bool = False) -> QuantParams:
+    """One-call post-training quantization of a trained UNetSmall.
+
+    ``quant_up`` additionally runs the 2×2 transposed convs in int8 (they
+    are ~10% of the FLOPs and the int8↔bf16 dtype boundary); default off —
+    measure the MAE delta before enabling (tools/bench_int8.py --quant_up).
+    """
+    w8, bias = quantize_weights(params, quant_up=quant_up)
     scales = calibrate(params, calib_batches, out_ch, base_ch)
     return QuantParams(params, w8, bias, scales, out_ch, base_ch)
 

@@ -303,7 +303,10 @@ def progressive_distill(
     phase's EMA weights. Returns {'params': final EMA student,
     'phase_history': [...], 'steps': final_steps}.
     """
-    teacher = teacher_params
+    # host-loaded checkpoints arrive as numpy; pin the teacher on device ONCE
+    # (it is passed to every jitted step — as numpy it would re-upload the
+    # whole tree per step, which over a remote-device tunnel dominates)
+    teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
     t_param = cfg.teacher_param
     history = []
     for phase, s_steps in enumerate(cfg.phase_steps()):

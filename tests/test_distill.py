@@ -170,6 +170,30 @@ def test_progressive_distill_end_to_end(rng):
     assert out.shape == batch[1].shape
 
 
+def test_distill_step_sharded_over_mesh(rng):
+    """The distill step partitions SPMD over the ('data','space') mesh:
+    replicated params, sharded batch — same recipe as the train step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s1s2.parallel import make_mesh
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, teacher_steps=4)
+    model, teacher, batch = _tiny_setup(rng, B=8)
+    mesh = make_mesh(data=4, space=2, devices=jax.devices()[:8])
+    repl = NamedSharding(mesh, P())
+    bshard = tuple(NamedSharding(mesh, P("data", "space")) for _ in range(3))
+    step = jax.jit(make_distill_step(model.apply, schedule, cfg, 2),
+                   in_shardings=(repl, repl, bshard, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+    state = create_distill_state(teacher, cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), batch, bshard)
+    state, metrics = step(state, teacher, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_distill_cli_smoke(tmp_path, rng):
     """End-to-end CLI: make synthetic patches, train 1 epoch, distill 2→1,
     then evaluate the student with the standard eval CLI."""

@@ -44,7 +44,7 @@ def test_calib_forward_matches_unetsmall(setup):
     assert got.dtype == want.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=5e-2)
-    assert len(rec) == 12  # 6 blocks x 2 convs
+    assert len(rec) == 15  # 6 blocks x 2 convs + 3 transposed-conv inputs
 
 
 def test_weight_quantization_bounds(setup):
@@ -69,6 +69,20 @@ def test_int8_forward_close_to_bf16(setup):
     got = np.asarray(quant_apply(qp, x, t))
     # random-init nets amplify; just bound the relative error sanely
     scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.25
+    assert np.abs(got - want).mean() / scale < 0.05
+
+
+def test_int8_quant_up_forward_close_to_bf16(setup):
+    """quant_up=True additionally runs the 2×2 transposed convs in int8;
+    output must stay close to the bf16 forward (slightly looser tol)."""
+    model, variables, x, t = setup
+    want = np.asarray(model.apply(variables, x, t))
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8,
+                       quant_up=True)
+    assert set(qp.w8) >= {"up1", "up2", "up3"}
+    got = np.asarray(quant_apply(qp, x, t))
+    scale = max(1.0, float(np.abs(want).max()))
     assert np.abs(got - want).max() / scale < 0.25
     assert np.abs(got - want).mean() / scale < 0.05
 

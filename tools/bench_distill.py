@@ -1,0 +1,190 @@
+"""Evidence run for the distilled few-step sampler (BENCH_NOTES.md).
+
+Trains a soak ε-teacher on synthetic patches (or loads --ckpt), distills it
+16→8→4→2→1 steps with s1s2.train.distill, then scores GT-anchored
+reconstruction MAE at t_start=200 for:
+
+    teacher:  ddim-20 (the quality anchor), ddim-2, ddim-1 (undistilled
+              few-step baselines), dpm2m-5
+    student:  ddim-2, ddim-1, and (--int8) the quantized student at ddim-1
+
+One JSON line per row + a summary line with
+``quality_matched_distill1: student ddim-1 MAE <= teacher ddim-20 MAE*1.01``
+— the claim behind bench.py's distilled throughput line. Soak models
+establish ORDERING on a learnable task, not absolute quality (BENCH_NOTES.md).
+
+Usage:
+    python tools/bench_distill.py [--epochs 40] [--n 32] [--int8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40, help="teacher soak epochs")
+    ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--teacher_steps", type=int, default=16)
+    ap.add_argument("--final_steps", type=int, default=1)
+    ap.add_argument("--epochs_per_phase", type=int, default=8)
+    ap.add_argument("--distill_lr", type=float, default=1e-4)
+    ap.add_argument("--ckpt", default=None, help="skip teacher training")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from s1s2.core import Schedule
+    from s1s2.core.parametrize import Parameterization, q_sample
+    from s1s2.data.dataset import NpzPatchDataset
+    from s1s2.data.loader import batch_iterator
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.models import UNetSmall
+    from s1s2.sampling import ddim_anchored, dpm_solver_2m, make_denoise_fn
+    from s1s2.sampling.grids import round_unique_grid
+    from s1s2.train.distill import DistillConfig, progressive_distill
+
+    work = args.out or tempfile.mkdtemp(prefix="s1s2_distill_")
+    patches = os.path.join(work, "patches")
+    if not os.path.isdir(patches) or not os.listdir(patches):
+        make_synthetic_patches(patches, n=args.n, size=args.size, seed=0)
+
+    T = 1000
+    schedule = Schedule.cosine(T)
+    model = UNetSmall(out_ch=4, base_ch=96, compute_dtype=jnp.bfloat16)
+
+    if args.ckpt:
+        from s1s2.train.checkpoint import load_any_checkpoint
+
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.size, args.size, 8), jnp.float32),
+            jnp.zeros((1,), jnp.int32))
+        teacher = load_any_checkpoint(args.ckpt, template=variables["params"])
+    else:
+        from s1s2.train.loop import TrainConfig
+        from s1s2.train.trainer import RunConfig, train_loop
+
+        run = RunConfig(patch_dir=patches,
+                        model_path=os.path.join(work, "teacher.msgpack"),
+                        epochs=args.epochs, batch_size=args.batch,
+                        base_ch=96, seed=0)
+        hist = train_loop(run, TrainConfig(T=T, pred_param="eps"),
+                          progress=lambda d: d.get("avg_loss") is not None
+                          and print(json.dumps(d), flush=True))
+        teacher = hist["final_state"].ema_params
+
+    from s1s2.data.loader import MmapCache
+
+    npz_ds = NpzPatchDataset(patches)
+    ds = MmapCache(npz_ds, os.path.join(work, "cache"))  # for distill epochs
+    conds, gts, masks = [], [], []
+    for i in range(len(npz_ds)):
+        item = npz_ds[i]
+        conds.append(item["cond"])
+        gts.append(item["target"])
+        m = item["mask"]
+        masks.append(np.ones(item["target"].shape[:2], np.float32)
+                     if m is None else m)
+    cond = jnp.asarray(np.stack(conds))
+    gt = jnp.asarray(np.stack(gts))
+    mask = np.stack(masks)
+
+    key = jax.random.PRNGKey(1234)
+    noise = jax.random.normal(key, gt.shape)
+    ab = schedule.alpha_bar_np()
+
+    def mae(pred):
+        pred = np.asarray(pred)
+        m = mask[..., None]
+        return float(np.abs((pred - np.asarray(gt)) * m).sum()
+                     / (m.sum() * gt.shape[-1]))
+
+    rows = {}
+
+    def score(tag, params, steps_list, dpm=False):
+        fn = make_denoise_fn(model.apply, {"params": params}, cond)
+        for steps in steps_list:
+            out = ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
+                                noise=noise)
+            rows[(tag, steps)] = mae(out)
+            print(json.dumps({"model": tag, "sampler": "ddim", "steps": steps,
+                              "mae": round(rows[(tag, steps)], 5)}), flush=True)
+        if dpm:
+            grid = round_unique_grid(args.t_start, 5, T)
+            K = int(grid[-1])
+            x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
+                              float(np.sqrt(1.0 - ab[K])))
+            out = dpm_solver_2m(fn, x_init, schedule, grid,
+                                Parameterization.EPS)
+            rows[(tag, "dpm2m5")] = mae(out)
+            print(json.dumps({"model": tag, "sampler": "dpm2m", "steps": 5,
+                              "mae": round(rows[(tag, "dpm2m5")], 5)}),
+                  flush=True)
+
+    score("teacher", teacher, (20, 2, 1), dpm=True)
+
+    cfg = DistillConfig(
+        T=T, t_start=args.t_start, teacher_steps=args.teacher_steps,
+        final_steps=args.final_steps, epochs_per_phase=args.epochs_per_phase,
+        lr=args.distill_lr)
+    result = progressive_distill(
+        model.apply, schedule, cfg, teacher,
+        batches=lambda phase, epoch: batch_iterator(
+            ds, args.batch, shuffle=True, drop_last=True, seed=7,
+            epoch=phase * 10_000 + epoch),
+        progress=lambda d: print(json.dumps(d), flush=True))
+    student = result["params"]
+    from s1s2.train.checkpoint import save_model
+
+    save_model(student, os.path.join(work, "student.msgpack"))
+
+    score("student", student, (2, 1))
+
+    summary = {
+        "teacher_ddim20_mae": round(rows[("teacher", 20)], 5),
+        "teacher_ddim1_mae": round(rows[("teacher", 1)], 5),
+        "student_ddim1_mae": round(rows[("student", 1)], 5),
+        "student_ddim2_mae": round(rows[("student", 2)], 5),
+        "quality_matched_distill1": bool(
+            rows[("student", 1)] <= rows[("teacher", 20)] * 1.01),
+        "workdir": work,
+    }
+
+    if args.int8:
+        from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+
+        calib = []
+        for tval in (args.t_start, args.t_start // 2, 5):
+            x_c = q_sample(gt[:8], noise[:8], float(np.sqrt(ab[tval])),
+                           float(np.sqrt(1.0 - ab[tval])))
+            calib.append((jnp.concatenate([x_c, cond[:8]], -1),
+                          jnp.full((x_c.shape[0],), tval, jnp.int32)))
+        qp = quantize_unet(student, calib)
+        fn_q = make_quant_denoise_fn(qp, cond)
+        out = ddim_anchored(fn_q, gt, key, schedule, args.t_start, 1,
+                            noise=noise)
+        m = mae(out)
+        print(json.dumps({"model": "student_int8", "sampler": "ddim",
+                          "steps": 1, "mae": round(m, 5)}), flush=True)
+        summary["student_int8_ddim1_mae"] = round(m, 5)
+        summary["quality_matched_distill1_int8"] = bool(
+            m <= rows[("teacher", 20)] * 1.01)
+
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

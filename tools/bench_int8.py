@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--patches", default=None)
+    ap.add_argument("--quant_up", action="store_true",
+                    help="also run the 2x2 transposed convs in int8")
     args = ap.parse_args()
 
     import numpy as np
@@ -76,7 +78,7 @@ def main():
         calib.append((jnp.concatenate([x_t, cond], -1)[: min(8, B)],
                       jnp.full((min(8, B),), tval, jnp.int32)))
     t0 = time.perf_counter()
-    qp = quantize_unet(params, calib)
+    qp = quantize_unet(params, calib, quant_up=args.quant_up)
     print(f"quantize_unet: {time.perf_counter() - t0:.1f}s "
           f"({len(qp.act_scale)} conv scales)", flush=True)
 
