@@ -283,6 +283,89 @@ def make_distill_step(
 
 
 # ---------------------------------------------------------------------------
+# endpoint distillation (single-t trajectory-endpoint regression)
+# ---------------------------------------------------------------------------
+
+
+def make_endpoint_distill_step(
+    apply_fn: Callable,
+    schedule: Schedule,
+    cfg: DistillConfig,
+) -> Callable:
+    """Build ``step(state, batch, key) -> (state, metrics)`` for ENDPOINT
+    distillation: the student, queried once at t = cfg.t_start, regresses
+    straight onto a precomputed teacher full-chain output.
+
+    Complements the progressive mode: progressive telescopes 2-steps-into-1
+    along the whole grid (general, works at any step budget); endpoint
+    specializes a 1-step student to the exact (t_start → 0) map the
+    anchored-reconstruction eval runs, with the teacher's multi-step output
+    as the target — the caller builds targets ONCE with the production
+    sampler (e.g. ``ddim_anchored(teacher, ..., steps=20)``) under stored
+    noise, so each distill step costs one student fwd/bwd and no teacher
+    calls.
+
+    batch = (cond, x0_data, mask, noise, x0_teacher): ``noise`` is the draw
+    used for both the teacher rollout's init and the student's q_sample, so
+    student and teacher see the SAME x_{t_start}.
+    """
+    tx = make_distill_optimizer(cfg)
+    t_start = int(cfg.t_start)
+    ab = float(schedule.alpha_bar_np()[min(t_start, cfg.T - 1)])
+    sab = np.float32(np.sqrt(ab))
+    s1mab = np.float32(np.sqrt(1.0 - ab))
+    decay = cfg.ema_decay
+
+    def loss_fn(params, cond, x0, mask, noise, x0_tgt):
+        B = x0.shape[0]
+        x_t = q_sample(x0, noise, jnp.full((B,), sab), jnp.full((B,), s1mab))
+        pred = apply_fn({"params": params},
+                        jnp.concatenate([x_t, cond], axis=-1),
+                        jnp.full((B,), t_start, jnp.int32))
+        x0_pred, _ = pred_to_x0_eps(
+            Parameterization.EPS, x_t, pred,
+            jnp.full((B,), sab), jnp.full((B,), s1mab))
+        m = mask[..., None].astype(jnp.float32)
+        if cfg.mask_as_weights:
+            m = m / jnp.clip(m.mean(), 1e-6, None)
+        else:
+            m = (m > 0).astype(jnp.float32)
+        err2 = m * (x0_pred - jax.lax.stop_gradient(x0_tgt)) ** 2
+        loss = err2.sum() / jnp.clip(m.sum() * x0.shape[-1], 1e-6, None)
+        ch = err2.sum(axis=(0, 1, 2)) / jnp.clip(m.sum(), 1e-6, None)
+        return loss, ch
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, batch, key: jax.Array):
+        cond, x0, mask, noise, x0_tgt = batch
+        (loss, ch), grads = grad_fn(state.params, cond, x0, mask, noise,
+                                    x0_tgt)
+        finite_g = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True))
+        ok = jnp.isfinite(loss) & finite_g
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        new_params = sel(new_params, state.params)
+        new_opt = sel(new_opt, state.opt_state)
+        new_ema = sel(
+            jax.tree_util.tree_map(
+                lambda p, e: (1.0 - decay) * p + decay * e,
+                new_params, state.ema_params),
+            state.ema_params)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema,
+            skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32))
+        return new_state, {"loss": jnp.where(ok, loss, jnp.nan),
+                           "ch_losses": ch, "skipped": new_state.skipped}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # progressive driver
 # ---------------------------------------------------------------------------
 

@@ -170,6 +170,47 @@ def test_progressive_distill_end_to_end(rng):
     assert out.shape == batch[1].shape
 
 
+def test_endpoint_distill_step_learns_target(rng):
+    """Endpoint mode: the 1-step student regresses onto a fixed teacher
+    endpoint; with a constant target the loss must drop monotonically-ish
+    and params stay finite."""
+    from s1s2.train.distill import make_endpoint_distill_step
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, lr=3e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    noise = jnp.asarray(rng.standard_normal(x0.shape), jnp.float32)
+    x0_tgt = jnp.clip(x0 + 0.05, 0, 1)  # a fixed, reachable target
+    step = jax.jit(make_endpoint_distill_step(model.apply, schedule, cfg),
+                   donate_argnums=(0,))
+    state = create_distill_state(teacher, cfg)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, (cond, x0, mask, noise, x0_tgt),
+                              jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert int(state.skipped) == 0
+
+
+def test_distill_from_v_teacher(rng):
+    """A v-parameterized teacher (the reference's flagship family) distills
+    into an ε-student: phase 0 consumes the teacher through the v→(x0,ε)
+    algebra, later phases are ε-to-ε."""
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, teacher_steps=4, final_steps=1,
+                        epochs_per_phase=1, teacher_param="v")
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    result = progressive_distill(
+        model.apply, schedule, cfg, teacher,
+        batches=lambda phase, epoch: [batch])
+    assert result["steps"] == 1
+    assert all(np.isfinite(v) for h in result["phase_history"]
+               for v in h["epoch_loss"])
+
+
 def test_distill_step_sharded_over_mesh(rng):
     """The distill step partitions SPMD over the ('data','space') mesh:
     replicated params, sharded batch — same recipe as the train step."""

@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--distill_lr", type=float, default=1e-4)
     ap.add_argument("--ckpt", default=None, help="skip teacher training")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--endpoint_epochs", type=int, default=0,
+                    help="after the progressive phases, fine-tune the 1-step "
+                         "student on teacher ddim-20 ENDPOINTS for this many "
+                         "epochs (make_endpoint_distill_step)")
+    ap.add_argument("--endpoint_seeds", type=int, default=4,
+                    help="noise draws per patch for the endpoint target set")
+    ap.add_argument("--skip_progressive", action="store_true",
+                    help="endpoint-only: fine-tune straight from the teacher")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -49,7 +57,6 @@ def main():
     from s1s2.core import Schedule
     from s1s2.core.parametrize import Parameterization, q_sample
     from s1s2.data.dataset import NpzPatchDataset
-    from s1s2.data.loader import batch_iterator
     from s1s2.data.synthetic import make_synthetic_patches
     from s1s2.models import UNetSmall
     from s1s2.sampling import ddim_anchored, dpm_solver_2m, make_denoise_fn
@@ -86,10 +93,7 @@ def main():
                           and print(json.dumps(d), flush=True))
         teacher = hist["final_state"].ema_params
 
-    from s1s2.data.loader import MmapCache
-
     npz_ds = NpzPatchDataset(patches)
-    ds = MmapCache(npz_ds, os.path.join(work, "cache"))  # for distill epochs
     conds, gts, masks = [], [], []
     for i in range(len(npz_ds)):
         item = npz_ds[i]
@@ -136,32 +140,99 @@ def main():
 
     score("teacher", teacher, (20, 2, 1), dpm=True)
 
-    cfg = DistillConfig(
+    cfg = DistillConfig(  # noqa: E501  (shared by both distill modes)
         T=T, t_start=args.t_start, teacher_steps=args.teacher_steps,
         final_steps=args.final_steps, epochs_per_phase=args.epochs_per_phase,
         lr=args.distill_lr)
-    result = progressive_distill(
-        model.apply, schedule, cfg, teacher,
-        batches=lambda phase, epoch: batch_iterator(
-            ds, args.batch, shuffle=True, drop_last=True, seed=7,
-            epoch=phase * 10_000 + epoch),
-        progress=lambda d: print(json.dumps(d), flush=True))
-    student = result["params"]
     from s1s2.train.checkpoint import save_model
 
-    save_model(student, os.path.join(work, "student.msgpack"))
+    # the whole soak set fits in HBM (n×256²×8ch f32 ≈ 2MB/patch) — serve
+    # distill batches by DEVICE-side gather instead of re-uploading ~100MB
+    # per epoch over the remote-device tunnel
+    n_ds = cond.shape[0]
+    mask_d = jnp.asarray(mask)
 
-    score("student", student, (2, 1))
+    def device_batches(seed):
+        order = np.random.default_rng(seed).permutation(n_ds)
+        for lo in range(0, n_ds - args.batch + 1, args.batch):
+            idx = jnp.asarray(order[lo:lo + args.batch])
+            yield (jnp.take(cond, idx, axis=0), jnp.take(gt, idx, axis=0),
+                   jnp.take(mask_d, idx, axis=0))
 
+    if args.skip_progressive:
+        student = jax.tree_util.tree_map(jnp.asarray, teacher)
+    else:
+        result = progressive_distill(
+            model.apply, schedule, cfg, teacher,
+            batches=lambda phase, epoch: device_batches(
+                7 + phase * 10_000 + epoch),
+            progress=lambda d: print(json.dumps(d), flush=True))
+        student = result["params"]
+        save_model(student, os.path.join(work, "student.msgpack"))
+        score("student", student, (2, 1))
+
+    if args.endpoint_epochs > 0:
+        from s1s2.train.distill import (
+            create_distill_state,
+            make_endpoint_distill_step,
+        )
+
+        # teacher endpoint targets: ddim-20 under stored per-seed noise
+        fn_t = make_denoise_fn(model.apply, {"params": jax.tree_util.tree_map(
+            jnp.asarray, teacher)}, cond)
+        ep_noise, ep_tgt = [], []
+        for s in range(args.endpoint_seeds):
+            nz = jax.random.normal(jax.random.PRNGKey(50_000 + s), gt.shape)
+            tgt = ddim_anchored(fn_t, gt, key, schedule, args.t_start, 20,
+                                noise=nz)
+            ep_noise.append(np.asarray(nz))
+            ep_tgt.append(np.asarray(tgt))
+        # device-resident endpoint set: (seeds·n) patches of noise+target,
+        # batches gathered on device (see device_batches note above)
+        ep_noise = jnp.concatenate(ep_noise)
+        ep_tgt = jnp.concatenate(ep_tgt)
+        n_ep = ep_noise.shape[0]
+        mask_d2 = jnp.asarray(mask)
+
+        step = jax.jit(make_endpoint_distill_step(model.apply, schedule, cfg),
+                       donate_argnums=(0,))
+        st = create_distill_state(student, cfg)
+        rng_ep = np.random.default_rng(11)
+        for ep in range(1, args.endpoint_epochs + 1):
+            order = rng_ep.permutation(n_ep)
+            running, nb = 0.0, 0
+            for lo in range(0, n_ep - args.batch + 1, args.batch):
+                idx = jnp.asarray(order[lo:lo + args.batch])
+                idx_ds = idx % n_ds  # seed-tiled → underlying patch index
+                b = (jnp.take(cond, idx_ds, axis=0),
+                     jnp.take(gt, idx_ds, axis=0),
+                     jnp.take(mask_d2, idx_ds, axis=0),
+                     jnp.take(ep_noise, idx, axis=0),
+                     jnp.take(ep_tgt, idx, axis=0))
+                st, metrics = step(st, b, jax.random.PRNGKey(0))
+                v = float(metrics["loss"])
+                if np.isfinite(v):
+                    running += v
+                    nb += 1
+            if ep % 25 == 0 or ep == args.endpoint_epochs:
+                print(json.dumps({"endpoint_epoch": ep,
+                                  "loss": running / max(1, nb)}), flush=True)
+        student = st.ema_params
+        save_model(student, os.path.join(work, "student_endpoint.msgpack"))
+        score("student_ep", student, (1,))
+
+    best1 = min(v for (tag, s), v in rows.items()
+                if s == 1 and tag != "teacher")
     summary = {
         "teacher_ddim20_mae": round(rows[("teacher", 20)], 5),
         "teacher_ddim1_mae": round(rows[("teacher", 1)], 5),
-        "student_ddim1_mae": round(rows[("student", 1)], 5),
-        "student_ddim2_mae": round(rows[("student", 2)], 5),
+        "student_ddim1_mae": round(best1, 5),
         "quality_matched_distill1": bool(
-            rows[("student", 1)] <= rows[("teacher", 20)] * 1.01),
+            best1 <= rows[("teacher", 20)] * 1.01),
         "workdir": work,
     }
+    if ("student", 2) in rows:
+        summary["student_ddim2_mae"] = round(rows[("student", 2)], 5)
 
     if args.int8:
         from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
