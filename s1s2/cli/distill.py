@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
                     default="bfloat16")
     ap.add_argument("--mask_as_weights", action="store_true")
     ap.add_argument("--seed", type=int, default=1337)
+    # endpoint mode (trajectory-endpoint regression at the fixed grid top)
+    ap.add_argument("--endpoint_epochs", type=int, default=0,
+                    help="fine-tune the student on teacher ddim endpoints "
+                         "for this many epochs after the progressive phases")
+    ap.add_argument("--endpoint_seeds", type=int, default=4)
+    ap.add_argument("--endpoint_teacher_steps", type=int, default=20,
+                    help="teacher sampler budget for the endpoint targets")
+    ap.add_argument("--skip_progressive", action="store_true",
+                    help="endpoint-only distillation from the raw teacher")
     return ap
 
 
@@ -83,13 +92,41 @@ def main(argv=None) -> None:
                               drop_last=True, seed=args.seed,
                               epoch=phase * 10_000 + epoch)
 
-    result = progressive_distill(
-        model.apply, schedule, cfg, teacher, batches,
-        progress=lambda d: print(json.dumps(d), flush=True))
-    save_model(result["params"], args.model_path)
+    log = lambda d: print(json.dumps(d), flush=True)
+    phases = []
+    if args.skip_progressive:
+        import jax as _jax
+
+        student = _jax.tree_util.tree_map(jnp.asarray, teacher)
+    else:
+        result = progressive_distill(model.apply, schedule, cfg, teacher,
+                                     batches, progress=log)
+        student = result["params"]
+        phases = [h["student_steps"] for h in result["phase_history"]]
+
+    if args.endpoint_epochs > 0:
+        import numpy as np
+
+        from s1s2.train.distill import endpoint_distill
+
+        items = [ds[i] for i in range(len(ds))]
+        cond = np.stack([d["cond"] for d in items])
+        x0 = np.stack([d["target"] for d in items])
+        mask = np.stack([
+            np.ones(d["target"].shape[:2], np.float32)
+            if d["mask"] is None else d["mask"] for d in items])
+        student = endpoint_distill(
+            model.apply, schedule, cfg, student, teacher, cond, x0, mask,
+            epochs=args.endpoint_epochs, batch_size=args.batch_size,
+            teacher_steps=args.endpoint_teacher_steps,
+            n_seeds=args.endpoint_seeds, progress=log, seed=args.seed)
+
+    save_model(student, args.model_path)
     print(json.dumps({
-        "saved": args.model_path, "final_steps": int(result["steps"]),
-        "phases": [h["student_steps"] for h in result["phase_history"]],
+        "saved": args.model_path,
+        "final_steps": int(args.final_steps),
+        "phases": phases,
+        "endpoint_epochs": args.endpoint_epochs,
     }))
 
 

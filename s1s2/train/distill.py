@@ -365,6 +365,90 @@ def make_endpoint_distill_step(
     return step
 
 
+def endpoint_distill(
+    apply_fn: Callable,
+    schedule: Schedule,
+    cfg: DistillConfig,
+    student_params: Any,
+    teacher_params: Any,
+    cond: jnp.ndarray,
+    x0: jnp.ndarray,
+    mask: jnp.ndarray,
+    epochs: int,
+    batch_size: int,
+    teacher_steps: int = 20,
+    n_seeds: int = 4,
+    teacher_param: Optional[str] = None,
+    progress: Optional[Callable[[dict], None]] = None,
+    log_every: int = 25,
+    seed: int = 11,
+) -> Any:
+    """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
+    endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
+    (1-step) student on them with ``make_endpoint_distill_step``.
+
+    All data stays DEVICE-resident; batches are gathered on device (host
+    uploads per epoch would dominate on a remote-device runtime). Returns the
+    student's EMA params. (cond, x0, mask) are full-dataset NHWC arrays.
+    """
+    from s1s2.sampling.samplers import ddim_anchored, make_denoise_fn
+
+    t_par = Parameterization(teacher_param or cfg.teacher_param)
+    teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
+    cond = jnp.asarray(cond)
+    x0 = jnp.asarray(x0)
+    mask = jnp.asarray(mask)
+
+    raw_fn = make_denoise_fn(apply_fn, {"params": teacher}, cond)
+    if t_par is Parameterization.EPS:
+        fn_t = raw_fn
+    else:  # consume a v-teacher through the ε the sampler expects
+        sab_t = schedule.sqrt_alpha_bar
+        s1mab_t = schedule.sqrt_one_minus_alpha_bar
+
+        def fn_t(x_t, t):
+            _, eps = pred_to_x0_eps(Parameterization.V, x_t, raw_fn(x_t, t),
+                                    sab_t[t], s1mab_t[t])
+            return eps
+
+    ep_noise, ep_tgt = [], []
+    for s in range(n_seeds):
+        nz = jax.random.normal(jax.random.PRNGKey(50_000 + seed + s),
+                               x0.shape)
+        tgt = ddim_anchored(fn_t, x0, jax.random.PRNGKey(0), schedule,
+                            cfg.t_start, teacher_steps, noise=nz)
+        ep_noise.append(nz)
+        ep_tgt.append(tgt)
+    ep_noise = jnp.concatenate(ep_noise)
+    ep_tgt = jnp.concatenate(ep_tgt)
+    n_ds, n_ep = x0.shape[0], ep_noise.shape[0]
+
+    step = jax.jit(make_endpoint_distill_step(apply_fn, schedule, cfg),
+                   donate_argnums=(0,))
+    state = create_distill_state(student_params, cfg)
+    rng = np.random.default_rng(seed)
+    for ep in range(1, epochs + 1):
+        order = rng.permutation(n_ep)
+        running, nb = 0.0, 0
+        for lo in range(0, n_ep - batch_size + 1, batch_size):
+            idx = jnp.asarray(order[lo:lo + batch_size])
+            idx_ds = idx % n_ds  # seed-tiled → underlying patch index
+            batch = (jnp.take(cond, idx_ds, axis=0),
+                     jnp.take(x0, idx_ds, axis=0),
+                     jnp.take(mask, idx_ds, axis=0),
+                     jnp.take(ep_noise, idx, axis=0),
+                     jnp.take(ep_tgt, idx, axis=0))
+            state, metrics = step(state, batch, jax.random.PRNGKey(0))
+            v = float(metrics["loss"])
+            if np.isfinite(v):
+                running += v
+                nb += 1
+        if progress and (ep % log_every == 0 or ep == epochs):
+            progress({"endpoint_epoch": ep, "loss": running / max(1, nb),
+                      "skipped": int(state.skipped)})
+    return state.ema_params
+
+
 # ---------------------------------------------------------------------------
 # progressive driver
 # ---------------------------------------------------------------------------

@@ -258,6 +258,8 @@ def test_distill_cli_smoke(tmp_path, rng):
         "--teacher_steps", "2", "--final_steps", "1",
         "--epochs_per_phase", "1", "--batch_size", "2", "--base_ch", "4",
         "--compute_dtype", "float32",
+        "--endpoint_epochs", "1", "--endpoint_seeds", "1",
+        "--endpoint_teacher_steps", "2",
     ])
     from s1s2.models import UNetSmall
 

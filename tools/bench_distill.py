@@ -172,52 +172,14 @@ def main():
         score("student", student, (2, 1))
 
     if args.endpoint_epochs > 0:
-        from s1s2.train.distill import (
-            create_distill_state,
-            make_endpoint_distill_step,
-        )
+        from s1s2.train.distill import endpoint_distill
 
-        # teacher endpoint targets: ddim-20 under stored per-seed noise
-        fn_t = make_denoise_fn(model.apply, {"params": jax.tree_util.tree_map(
-            jnp.asarray, teacher)}, cond)
-        ep_noise, ep_tgt = [], []
-        for s in range(args.endpoint_seeds):
-            nz = jax.random.normal(jax.random.PRNGKey(50_000 + s), gt.shape)
-            tgt = ddim_anchored(fn_t, gt, key, schedule, args.t_start, 20,
-                                noise=nz)
-            ep_noise.append(np.asarray(nz))
-            ep_tgt.append(np.asarray(tgt))
-        # device-resident endpoint set: (seeds·n) patches of noise+target,
-        # batches gathered on device (see device_batches note above)
-        ep_noise = jnp.concatenate(ep_noise)
-        ep_tgt = jnp.concatenate(ep_tgt)
-        n_ep = ep_noise.shape[0]
-        mask_d2 = jnp.asarray(mask)
-
-        step = jax.jit(make_endpoint_distill_step(model.apply, schedule, cfg),
-                       donate_argnums=(0,))
-        st = create_distill_state(student, cfg)
-        rng_ep = np.random.default_rng(11)
-        for ep in range(1, args.endpoint_epochs + 1):
-            order = rng_ep.permutation(n_ep)
-            running, nb = 0.0, 0
-            for lo in range(0, n_ep - args.batch + 1, args.batch):
-                idx = jnp.asarray(order[lo:lo + args.batch])
-                idx_ds = idx % n_ds  # seed-tiled → underlying patch index
-                b = (jnp.take(cond, idx_ds, axis=0),
-                     jnp.take(gt, idx_ds, axis=0),
-                     jnp.take(mask_d2, idx_ds, axis=0),
-                     jnp.take(ep_noise, idx, axis=0),
-                     jnp.take(ep_tgt, idx, axis=0))
-                st, metrics = step(st, b, jax.random.PRNGKey(0))
-                v = float(metrics["loss"])
-                if np.isfinite(v):
-                    running += v
-                    nb += 1
-            if ep % 25 == 0 or ep == args.endpoint_epochs:
-                print(json.dumps({"endpoint_epoch": ep,
-                                  "loss": running / max(1, nb)}), flush=True)
-        student = st.ema_params
+        student = endpoint_distill(
+            model.apply, schedule, cfg, student, teacher,
+            cond, gt, mask,
+            epochs=args.endpoint_epochs, batch_size=args.batch,
+            teacher_steps=20, n_seeds=args.endpoint_seeds,
+            progress=lambda d: print(json.dumps(d), flush=True))
         save_model(student, os.path.join(work, "student_endpoint.msgpack"))
         score("student_ep", student, (1,))
 
