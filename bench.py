@@ -11,11 +11,20 @@ Prints JSON lines (driver parses the LAST):
      20-step DDIM MAE on the same checkpoint (evidence:
      tools/bench_quality_matched.py --int8 → quality_matched_int8: true;
      BENCH_NOTES.md tables).
-  3. HEADLINE (last): 50-step DDIM through the int8 quantized path
-     (models/quant.py) — same workload, reconstruction MAE identical to
-     bf16 (0.49815 vs 0.49813, tools/bench_int8.py), runs on the v5e's 2×
-     int8 MXU mode. B=64 is the int8 sweet spot (bench_int8 sweep:
-     32→15.1, 64→15.2, 128→12.3).
+  3. 50-step DDIM through the int8 quantized path (models/quant.py) —
+     same workload, reconstruction MAE identical to bf16 (0.49815 vs
+     0.49813, tools/bench_int8.py), runs on the v5e's 2× int8 MXU mode.
+     B=64 is the int8 sweet spot (bench_int8 sweep: 32→15.1, 64→15.2,
+     128→12.3).
+  4. HEADLINE (last): 1-step endpoint-distilled student + int8, at
+     ddim-20-matched reconstruction quality. Evidence: the
+     endpoint-distilled 1-step student scores MAE 0.411 (int8 0.409) vs
+     its teacher's 20-step DDIM 0.441 on the same eval
+     (tools/bench_distill.py run; raw rows in
+     examples/results_synthetic/distill_evidence.jsonl; BENCH_NOTES.md
+     "Step distillation" table). Student architecture == teacher
+     (UNetSmall base 96), so throughput here is weight-independent; batch
+     sweep in tools/bench_distill_throughput.py (32→732, 64→745, 128→604).
 """
 
 import json
@@ -105,15 +114,27 @@ def main() -> None:
     _report("patches_per_sec_per_chip_dpm2m5_int8_at_ddim20_quality_256px",
             timed(run_qm, cond, gt, 20))
 
-    # ---- 3. HEADLINE (last line): 50-step DDIM, int8 path, B=64 ----
+    # ---- 3. 50-step DDIM, int8 path, B=64 ----
     @jax.jit
     def run_int8(cond, gt, key):
         fn = make_quant_denoise_fn(qp, cond)
         return ddim_anchored(fn, gt, key, schedule, T_START, STEPS)
 
-    _report("patches_per_sec_per_chip_50step_ddim_256px",
+    _report("patches_per_sec_per_chip_50step_ddim_256px_int8",
             timed(run_int8, cond, gt, 5),
             config="int8-quantized (MAE-matched to bf16; BENCH_NOTES.md)")
+
+    # ---- 4. HEADLINE (last line): distilled 1-step + int8, B=64 ----
+    @jax.jit
+    def run_distill1(cond, gt, key):
+        fn = make_quant_denoise_fn(qp, cond)
+        return ddim_anchored(fn, gt, key, schedule, 200, 1)
+
+    _report("patches_per_sec_per_chip_distill1_int8_at_ddim20_quality_256px",
+            timed(run_distill1, cond, gt, 30),
+            config="endpoint-distilled 1-step student, int8 "
+                   "(MAE 0.409 vs teacher ddim-20 0.441; "
+                   "examples/results_synthetic/distill_evidence.jsonl)")
 
 
 if __name__ == "__main__":
