@@ -1,0 +1,138 @@
+"""Full-metric scoring of a distilled student vs its teacher.
+
+Strengthens the MAE-only quality-matched claim in
+examples/results_synthetic/distill_evidence.jsonl: loads the teacher and
+endpoint-distilled student checkpoints from a tools/bench_distill.py
+workdir and scores teacher ddim-20 vs student ddim-1 (and optionally the
+int8-quantized student) on the full metric suite — masked MAE, MSE, PSNR,
+SSIM, SAM, ERGAS (s1s2/eval/metrics.py, the same functions behind the
+reference's Comparison_Original 5-column schema).
+
+Usage:
+    python tools/score_distill_full.py --workdir /tmp/s1s2_distill_XXXX \
+        [--int8] [--t_start 200]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--teacher", default="teacher_last.msgpack")
+    ap.add_argument("--student", default="student_endpoint.msgpack")
+    ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--out", default=None, help="write rows to this JSONL")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from s1s2.core import Schedule
+    from s1s2.data.dataset import NpzPatchDataset
+    from s1s2.eval import metrics as M
+    from s1s2.models import UNetSmall
+    from s1s2.sampling import ddim_anchored, make_denoise_fn
+    from s1s2.train.checkpoint import load_any_checkpoint
+
+    T = 1000
+    schedule = Schedule.cosine(T)
+    model = UNetSmall(out_ch=4, base_ch=96, compute_dtype=jnp.bfloat16)
+
+    ds = NpzPatchDataset(os.path.join(args.workdir, "patches"))
+    conds, gts, masks = [], [], []
+    for i in range(len(ds)):
+        item = ds[i]
+        conds.append(item["cond"])
+        gts.append(item["target"])
+        m = item["mask"]
+        masks.append(np.ones(item["target"].shape[:2], np.float32)
+                     if m is None else m)
+    cond = jnp.asarray(np.stack(conds))
+    gt = jnp.asarray(np.stack(gts))
+    mask = jnp.asarray(np.stack(masks))
+
+    tmpl = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + gt.shape[1:3] + (8,),
+                                         jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"]
+    teacher = load_any_checkpoint(os.path.join(args.workdir, args.teacher),
+                                  template=tmpl)
+    student = load_any_checkpoint(os.path.join(args.workdir, args.student),
+                                  template=tmpl)
+
+    key = jax.random.PRNGKey(1234)
+    noise = jax.random.normal(key, gt.shape)
+
+    rows = []
+
+    def score(tag, pred):
+        row = {
+            "model": tag,
+            "mae": float(M.masked_mae(pred, gt, mask)),
+            "mse": float(M.masked_mse(pred, gt, mask)),
+            "psnr": float(M.psnr(pred, gt, mask)),
+            "ssim": float(M.ssim_simple(pred, gt)),
+            "sam_deg": float(M.sam(pred, gt, mask)),
+            "ergas": float(M.ergas(pred, gt, mask)),
+        }
+        rows.append(row)
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in row.items()}), flush=True)
+        return row
+
+    def run(params, steps):
+        fn = make_denoise_fn(model.apply, {"params": params}, cond)
+        return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
+                             noise=noise)
+
+    t20 = score("teacher_ddim20", run(teacher, 20))
+    score("teacher_ddim1", run(teacher, 1))
+    s1 = score("student_ep_ddim1", run(student, 1))
+
+    if args.int8:
+        from s1s2.core.parametrize import q_sample
+        from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+
+        ab = schedule.alpha_bar_np()
+        calib = []
+        ck = jax.random.PRNGKey(5)
+        for tval in (args.t_start, args.t_start // 2, 20):
+            ck, sub = jax.random.split(ck)
+            x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
+                           float(np.sqrt(ab[tval])),
+                           float(np.sqrt(1.0 - ab[tval])))
+            calib.append((jnp.concatenate([x_t, cond[:8]], -1),
+                          jnp.full((8,), tval, jnp.int32)))
+        qp = quantize_unet(student, calib)
+        fn = make_quant_denoise_fn(qp, cond)
+        score("student_ep_int8_ddim1",
+              ddim_anchored(fn, gt, key, schedule, args.t_start, 1,
+                            noise=noise))
+
+    summary = {
+        "summary": True,
+        "quality_matched_full": bool(
+            s1["mae"] <= t20["mae"] * 1.01
+            and s1["ssim"] >= t20["ssim"] - 0.01
+            and s1["sam_deg"] <= t20["sam_deg"] * 1.05),
+    }
+    rows.append(summary)
+    print(json.dumps(summary), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps({k: (round(v, 5) if isinstance(v, float)
+                                        else v) for k, v in r.items()}) + "\n")
+
+
+if __name__ == "__main__":
+    main()
