@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--epochs_per_phase", type=int, default=8)
     ap.add_argument("--distill_lr", type=float, default=1e-4)
     ap.add_argument("--ckpt", default=None, help="skip teacher training")
+    ap.add_argument("--param", choices=("eps", "v"), default="eps",
+                    help="teacher parameterization (the student always "
+                         "carries an eps head; distill converts internally)")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--endpoint_epochs", type=int, default=0,
                     help="after the progressive phases, fine-tune the 1-step "
@@ -59,7 +62,8 @@ def main():
     from s1s2.data.dataset import NpzPatchDataset
     from s1s2.data.synthetic import make_synthetic_patches
     from s1s2.models import UNetSmall
-    from s1s2.sampling import ddim_anchored, dpm_solver_2m, make_denoise_fn
+    from s1s2.sampling import (ddim_anchored, ddim_grid_sample,
+                               dpm_solver_2m, make_denoise_fn)
     from s1s2.sampling.grids import round_unique_grid
     from s1s2.train.distill import DistillConfig, progressive_distill
 
@@ -88,7 +92,7 @@ def main():
                         model_path=os.path.join(work, "teacher.msgpack"),
                         epochs=args.epochs, batch_size=args.batch,
                         base_ch=96, seed=0)
-        hist = train_loop(run, TrainConfig(T=T, pred_param="eps"),
+        hist = train_loop(run, TrainConfig(T=T, pred_param=args.param),
                           progress=lambda d: d.get("avg_loss") is not None
                           and print(json.dumps(d), flush=True))
         teacher = hist["final_state"].ema_params
@@ -118,32 +122,41 @@ def main():
 
     rows = {}
 
-    def score(tag, params, steps_list, dpm=False):
+    def anchored_init(steps):
+        grid = round_unique_grid(args.t_start, steps, T)
+        K = int(grid[-1])
+        return grid, q_sample(gt, noise, float(np.sqrt(ab[K])),
+                              float(np.sqrt(1.0 - ab[K])))
+
+    def score(tag, params, steps_list, dpm=False, param="eps"):
         fn = make_denoise_fn(model.apply, {"params": params}, cond)
+        p = Parameterization(param)
         for steps in steps_list:
-            out = ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
-                                noise=noise)
+            if param == "eps":
+                out = ddim_anchored(fn, gt, key, schedule, args.t_start,
+                                    steps, noise=noise)
+            else:
+                # v head has no linspace anchored sampler; use the
+                # round-unique grid convention with the same anchored init
+                grid, x_init = anchored_init(steps)
+                out = ddim_grid_sample(fn, x_init, key, schedule, grid, p)
             rows[(tag, steps)] = mae(out)
             print(json.dumps({"model": tag, "sampler": "ddim", "steps": steps,
                               "mae": round(rows[(tag, steps)], 5)}), flush=True)
         if dpm:
-            grid = round_unique_grid(args.t_start, 5, T)
-            K = int(grid[-1])
-            x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
-                              float(np.sqrt(1.0 - ab[K])))
-            out = dpm_solver_2m(fn, x_init, schedule, grid,
-                                Parameterization.EPS)
+            grid, x_init = anchored_init(5)
+            out = dpm_solver_2m(fn, x_init, schedule, grid, p)
             rows[(tag, "dpm2m5")] = mae(out)
             print(json.dumps({"model": tag, "sampler": "dpm2m", "steps": 5,
                               "mae": round(rows[(tag, "dpm2m5")], 5)}),
                   flush=True)
 
-    score("teacher", teacher, (20, 2, 1), dpm=True)
+    score("teacher", teacher, (20, 2, 1), dpm=True, param=args.param)
 
     cfg = DistillConfig(  # noqa: E501  (shared by both distill modes)
         T=T, t_start=args.t_start, teacher_steps=args.teacher_steps,
         final_steps=args.final_steps, epochs_per_phase=args.epochs_per_phase,
-        lr=args.distill_lr)
+        lr=args.distill_lr, teacher_param=args.param)
     from s1s2.train.checkpoint import save_model
 
     # the whole soak set fits in HBM (n×256²×8ch f32 ≈ 2MB/patch) — serve
