@@ -134,7 +134,11 @@ def main() -> None:
             timed(run_distill1, cond, gt, 30),
             config="endpoint-distilled 1-step student, int8 "
                    "(MAE 0.409 vs teacher ddim-20 0.441; "
-                   "examples/results_synthetic/distill_evidence.jsonl)")
+                   "examples/results_synthetic/distill_evidence.jsonl)",
+            weights="random-init, throughput-only: the student is "
+                    "architecturally identical to the teacher, so runtime "
+                    "is weight-independent; the quality claim comes from "
+                    "the cited evidence run, not this process")
 
 
 if __name__ == "__main__":

@@ -55,7 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if args.skip_progressive and args.endpoint_epochs <= 0:
+        ap.error("--skip_progressive with --endpoint_epochs 0 would run no "
+                 "distillation at all (the saved 'student' would be the "
+                 "unchanged teacher); pass --endpoint_epochs > 0")
 
     import jax
     import jax.numpy as jnp
@@ -64,7 +69,7 @@ def main(argv=None) -> None:
     from s1s2.data.dataset import NpzPatchDataset
     from s1s2.data.loader import batch_iterator
     from s1s2.models import UNetSmall
-    from s1s2.train.checkpoint import load_any_checkpoint, save_model
+    from s1s2.train.checkpoint import load_params, save_model
     from s1s2.train.distill import DistillConfig, progressive_distill
 
     ds = NpzPatchDataset(args.patch_dir, max_files=args.max_patches)
@@ -78,7 +83,7 @@ def main(argv=None) -> None:
     variables = model.init(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, H, W, Cc + Ct), jnp.float32), jnp.zeros((1,), jnp.int32))
-    teacher = load_any_checkpoint(args.teacher, template=variables["params"])
+    teacher = load_params(args.teacher, template=variables["params"])
 
     cfg = DistillConfig(
         T=args.T, t_start=args.t_start, teacher_steps=args.teacher_steps,
@@ -95,9 +100,7 @@ def main(argv=None) -> None:
     log = lambda d: print(json.dumps(d), flush=True)
     phases = []
     if args.skip_progressive:
-        import jax as _jax
-
-        student = _jax.tree_util.tree_map(jnp.asarray, teacher)
+        student = jax.tree_util.tree_map(jnp.asarray, teacher)
     else:
         result = progressive_distill(model.apply, schedule, cfg, teacher,
                                      batches, progress=log)

@@ -78,6 +78,27 @@ def restore_state(path: str, template: Optional[Any] = None) -> Any:
     return _ckptr().restore(os.path.abspath(path))
 
 
+def load_params(path: str, template: Any) -> Any:
+    """Load ANY checkpoint form and return a BARE params pytree.
+
+    Normalizes the three shapes ``load_any_checkpoint`` can produce:
+    reference ``.pth`` → ``{"params": ...}`` variables (unwrap), msgpack
+    model files → bare params (pass through), orbax full-state dirs →
+    train state (take the EMA params). Use this wherever code needs just
+    weights and must honor the "reference .pth loads anywhere a ckpt is
+    accepted" contract."""
+    loaded = load_any_checkpoint(path, template=template)
+    if isinstance(loaded, dict):
+        if set(loaded.keys()) == {"params"}:
+            return loaded["params"]
+        for key in ("ema_params", "params"):
+            if key in loaded:
+                return loaded[key]
+    if hasattr(loaded, "ema_params"):
+        return loaded.ema_params
+    return loaded
+
+
 def reference_artifact_paths(model_path: str):
     """``x.msgpack`` → (final, last, best) mirroring the reference's
     ``.pth → _last/_best`` naming (`Train_Orignal.py:268-269`)."""

@@ -43,7 +43,7 @@ from s1s2.core.parametrize import (
 )
 from s1s2.core.schedule import Schedule
 from s1s2.sampling.grids import linspace_grid
-from s1s2.train.loop import TrainState
+from s1s2.train.loop import TrainState, guarded_update
 
 
 # ---------------------------------------------------------------------------
@@ -63,6 +63,13 @@ def distill_grids(t_start: int, student_steps: int, T: int) -> Tuple[np.ndarray,
     grid `ddim_anchored` will use at eval time (asserted in tests).
     """
     tg = linspace_grid(t_start, 2 * student_steps, T)
+    if np.any(np.diff(tg) >= 0):
+        raise ValueError(
+            f"degenerate distill grid for t_start={t_start}, "
+            f"student_steps={student_steps}: the 2x teacher grid {tg} has "
+            "repeated/non-decreasing timesteps, which makes the one-step "
+            "inversion ill-conditioned (its denominator ~1e-9 stays finite, "
+            "silently poisoning targets). Use student_steps <= t_start/2.")
     return tg[::2].copy(), tg
 
 
@@ -140,6 +147,29 @@ def make_distill_optimizer(cfg: DistillConfig) -> optax.GradientTransformation:
         txs.append(optax.clip_by_global_norm(cfg.grad_clip))
     txs.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
     return optax.chain(*txs)
+
+
+def debiased_ema(state: TrainState, init_params: Any, decay: float) -> Any:
+    """EMA read-out that corrects init domination on SHORT runs.
+
+    Distill EMAs initialize from the phase's init params (not zeros), so
+    after n steps the EMA still carries decay**n of the init. For n well
+    under 1/(1-decay) that means the "student" is mostly its initializer.
+    Subtracting the known init component debiases the read-out exactly:
+        ema_n = decay**n * init + (1 - decay**n) * <trajectory average>
+    Long runs (decay**n ≈ 0) are returned bit-unchanged; ultra-short runs
+    (decay**n ≥ 0.9) fall back to the raw trained params, where an EMA is
+    meaningless anyway.
+    """
+    n = int(state.step)
+    w = float(decay) ** n
+    if w >= 0.9:
+        return state.params
+    if w <= 0.05:
+        return state.ema_params
+    return jax.tree_util.tree_map(
+        lambda e, p0: (e - w * p0) / (1.0 - w),
+        state.ema_params, init_params)
 
 
 def create_distill_state(params, cfg: DistillConfig) -> TrainState:
@@ -255,26 +285,8 @@ def make_distill_step(
             state.params, teacher_params, cond, x0, mask, i, noise)
 
         finite_in = jnp.isfinite(cond).all() & jnp.isfinite(x0).all()
-        finite_g = jax.tree_util.tree_reduce(
-            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True))
-        ok = finite_in & jnp.isfinite(loss) & finite_g
-
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(ok, x, y), a, b)
-        new_params = sel(new_params, state.params)
-        new_opt = sel(new_opt, state.opt_state)
-        new_ema = sel(
-            jax.tree_util.tree_map(
-                lambda p, e: (1.0 - decay) * p + decay * e,
-                new_params, state.ema_params),
-            state.ema_params)
-
-        new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt,
-            ema_params=new_ema,
-            skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32))
+        new_state, ok = guarded_update(state, tx, grads, loss, decay,
+                                       inputs_finite=finite_in)
         metrics = {"loss": jnp.where(ok, loss, jnp.nan), "ch_losses": ch,
                    "eps_mse": eps_mse, "skipped": new_state.skipped}
         return new_state, metrics
@@ -341,24 +353,10 @@ def make_endpoint_distill_step(
         cond, x0, mask, noise, x0_tgt = batch
         (loss, ch), grads = grad_fn(state.params, cond, x0, mask, noise,
                                     x0_tgt)
-        finite_g = jax.tree_util.tree_reduce(
-            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True))
-        ok = jnp.isfinite(loss) & finite_g
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(ok, x, y), a, b)
-        new_params = sel(new_params, state.params)
-        new_opt = sel(new_opt, state.opt_state)
-        new_ema = sel(
-            jax.tree_util.tree_map(
-                lambda p, e: (1.0 - decay) * p + decay * e,
-                new_params, state.ema_params),
-            state.ema_params)
-        new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt,
-            ema_params=new_ema,
-            skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32))
+        finite_in = (jnp.isfinite(cond).all() & jnp.isfinite(x0).all()
+                     & jnp.isfinite(x0_tgt).all())
+        new_state, ok = guarded_update(state, tx, grads, loss, decay,
+                                       inputs_finite=finite_in)
         return new_state, {"loss": jnp.where(ok, loss, jnp.nan),
                            "ch_losses": ch, "skipped": new_state.skipped}
 
@@ -382,46 +380,76 @@ def endpoint_distill(
     progress: Optional[Callable[[dict], None]] = None,
     log_every: int = 25,
     seed: int = 11,
+    rollout_chunk: int = 32,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
     (1-step) student on them with ``make_endpoint_distill_step``.
 
-    All data stays DEVICE-resident; batches are gathered on device (host
-    uploads per epoch would dominate on a remote-device runtime). Returns the
-    student's EMA params. (cond, x0, mask) are full-dataset NHWC arrays.
+    Teacher rollouts run in ``rollout_chunk``-sized chunks (activations never
+    scale with the dataset), and the (noise, target) set stays DEVICE-resident
+    while it fits (~2 GB) — host uploads per epoch would dominate on a
+    remote-device runtime — falling back to host storage + per-batch upload
+    beyond that. Returns the student's EMA params. (cond, x0, mask) are
+    full-dataset NHWC arrays.
     """
-    from s1s2.sampling.samplers import ddim_anchored, make_denoise_fn
+    from s1s2.sampling.grids import round_unique_grid
+    from s1s2.sampling.samplers import (ddim_anchored, ddim_grid_sample,
+                                        make_denoise_fn)
 
     t_par = Parameterization(teacher_param or cfg.teacher_param)
     teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
     cond = jnp.asarray(cond)
     x0 = jnp.asarray(x0)
     mask = jnp.asarray(mask)
+    n_ds = x0.shape[0]
 
-    raw_fn = make_denoise_fn(apply_fn, {"params": teacher}, cond)
-    if t_par is Parameterization.EPS:
-        fn_t = raw_fn
-    else:  # consume a v-teacher through the ε the sampler expects
-        sab_t = schedule.sqrt_alpha_bar
-        s1mab_t = schedule.sqrt_one_minus_alpha_bar
+    # target set = n_seeds full-dataset (noise, teacher-output) copies; keep
+    # it device-resident when it fits comfortably (remote-runtime uploads
+    # per epoch would dominate otherwise), fall back to host beyond ~2 GB
+    host_store = 2 * n_seeds * x0.nbytes > 2 << 30
+    # roll the teacher in bounded chunks so its sampler activations never
+    # scale with the dataset size
+    chunk = min(n_ds, max(1, rollout_chunk))
 
-        def fn_t(x_t, t):
-            _, eps = pred_to_x0_eps(Parameterization.V, x_t, raw_fn(x_t, t),
-                                    sab_t[t], s1mab_t[t])
-            return eps
+    if t_par is Parameterization.V:
+        # v-teachers run through the round-unique grid sampler, which takes
+        # host-precomputed per-step coefficients (CLAUDE.md invariant: no
+        # schedule-table gathers inside sampler loops)
+        grid = round_unique_grid(cfg.t_start, teacher_steps, cfg.T)
+        ab_k = float(schedule.alpha_bar_np()[int(grid[-1])])
+        sab_k = float(np.sqrt(ab_k))
+        s1mab_k = float(np.sqrt(1.0 - ab_k))
+
+    def roll_teacher(cond_c, x0_c, nz_c):
+        fn_c = make_denoise_fn(apply_fn, {"params": teacher}, cond_c)
+        if t_par is Parameterization.EPS:
+            return ddim_anchored(fn_c, x0_c, jax.random.PRNGKey(0), schedule,
+                                 cfg.t_start, teacher_steps, noise=nz_c)
+        x_init = q_sample(x0_c, nz_c, sab_k, s1mab_k)
+        return ddim_grid_sample(fn_c, x_init, jax.random.PRNGKey(0),
+                                schedule, grid, t_par)
 
     ep_noise, ep_tgt = [], []
     for s in range(n_seeds):
         nz = jax.random.normal(jax.random.PRNGKey(50_000 + seed + s),
                                x0.shape)
-        tgt = ddim_anchored(fn_t, x0, jax.random.PRNGKey(0), schedule,
-                            cfg.t_start, teacher_steps, noise=nz)
-        ep_noise.append(nz)
-        ep_tgt.append(tgt)
-    ep_noise = jnp.concatenate(ep_noise)
-    ep_tgt = jnp.concatenate(ep_tgt)
-    n_ds, n_ep = x0.shape[0], ep_noise.shape[0]
+        tgt_chunks = []
+        for lo in range(0, n_ds, chunk):
+            sl = slice(lo, min(lo + chunk, n_ds))
+            t_c = roll_teacher(cond[sl], x0[sl], nz[sl])
+            tgt_chunks.append(np.asarray(t_c) if host_store else t_c)
+        ep_noise.append(np.asarray(nz) if host_store else nz)
+        ep_tgt.append(np.concatenate(tgt_chunks) if host_store
+                      else jnp.concatenate(tgt_chunks))
+    xp = np if host_store else jnp
+    ep_noise = xp.concatenate(ep_noise)
+    ep_tgt = xp.concatenate(ep_tgt)
+    n_ep = ep_noise.shape[0]
+
+    if n_ep < batch_size:
+        # never run zero steps: a tiny target set just becomes one batch
+        batch_size = n_ep
 
     step = jax.jit(make_endpoint_distill_step(apply_fn, schedule, cfg),
                    donate_argnums=(0,))
@@ -431,13 +459,16 @@ def endpoint_distill(
         order = rng.permutation(n_ep)
         running, nb = 0.0, 0
         for lo in range(0, n_ep - batch_size + 1, batch_size):
-            idx = jnp.asarray(order[lo:lo + batch_size])
+            idx_h = order[lo:lo + batch_size]
+            idx = jnp.asarray(idx_h)
             idx_ds = idx % n_ds  # seed-tiled → underlying patch index
             batch = (jnp.take(cond, idx_ds, axis=0),
                      jnp.take(x0, idx_ds, axis=0),
                      jnp.take(mask, idx_ds, axis=0),
-                     jnp.take(ep_noise, idx, axis=0),
-                     jnp.take(ep_tgt, idx, axis=0))
+                     jnp.asarray(ep_noise[idx_h]) if host_store
+                     else jnp.take(ep_noise, idx, axis=0),
+                     jnp.asarray(ep_tgt[idx_h]) if host_store
+                     else jnp.take(ep_tgt, idx, axis=0))
             state, metrics = step(state, batch, jax.random.PRNGKey(0))
             v = float(metrics["loss"])
             if np.isfinite(v):
@@ -446,7 +477,8 @@ def endpoint_distill(
         if progress and (ep % log_every == 0 or ep == epochs):
             progress({"endpoint_epoch": ep, "loss": running / max(1, nb),
                       "skipped": int(state.skipped)})
-    return state.ema_params
+    init = jax.tree_util.tree_map(jnp.asarray, student_params)
+    return debiased_ema(state, init, cfg.ema_decay)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +529,7 @@ def progressive_distill(
                 progress({"phase": phase, "student_steps": s_steps,
                           "epoch": epoch, "loss": losses[-1],
                           "skipped": int(state.skipped)})
-        teacher = state.ema_params
+        teacher = debiased_ema(state, teacher, cfg.ema_decay)
         t_param = "eps"  # all students have the ε head
         history.append({"student_steps": s_steps, "epoch_loss": losses})
     return {"params": teacher, "phase_history": history,

@@ -162,6 +162,54 @@ def create_train_state(params, cfg: TrainConfig) -> TrainState:
     )
 
 
+def guarded_update(
+    state: TrainState,
+    tx: optax.GradientTransformation,
+    grads: Any,
+    loss: jnp.ndarray,
+    ema_decay: float,
+    inputs_finite=True,
+):
+    """NaN-guarded optimizer + EMA state advance, shared by the train step
+    and both distillation steps.
+
+    Applies optimizer update and EMA lerp (`Train_Orignal.py:201-205`:
+    shadow ← (1-d)·p + d·shadow) only when inputs/loss/grads are ALL finite;
+    otherwise the step is an on-device no-op that bumps the skip counter
+    (the reference's host-side NaN-batch `continue`, `Train_Orignal.py:321`,
+    kept inside one compiled program). Returns ``(new_state, ok)``.
+    """
+    finite_g = jax.tree_util.tree_reduce(
+        lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True)
+    )
+    ok = jnp.asarray(inputs_finite) & jnp.isfinite(loss) & finite_g
+
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(ok, x, y), a, b
+    )
+    new_params = sel(new_params, state.params)
+    new_opt_state = sel(new_opt_state, state.opt_state)
+    new_ema = sel(
+        jax.tree_util.tree_map(
+            lambda p, e: (1.0 - ema_decay) * p + ema_decay * e,
+            new_params,
+            state.ema_params,
+        ),
+        state.ema_params,
+    )
+    new_state = TrainState(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        ema_params=new_ema,
+        skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
+    )
+    return new_state, ok
+
+
 # ---------------------------------------------------------------------------
 # the train step
 # ---------------------------------------------------------------------------
@@ -238,38 +286,9 @@ def make_train_step(
             state.params, cond, x0, mask, t, noise
         )
 
-        # on-device NaN guard: inputs / loss / grads all finite, else no-op
         finite_in = jnp.isfinite(cond).all() & jnp.isfinite(x0).all()
-        finite_g = jax.tree_util.tree_reduce(
-            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True)
-        )
-        ok = finite_in & jnp.isfinite(loss) & finite_g
-
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(ok, x, y), a, b
-        )
-        new_params = sel(new_params, state.params)
-        new_opt_state = sel(new_opt_state, state.opt_state)
-        # EMA lerp (`Train_Orignal.py:201-205`): shadow ← (1-d)·p + d·shadow
-        new_ema = sel(
-            jax.tree_util.tree_map(
-                lambda p, e: (1.0 - decay) * p + decay * e,
-                new_params,
-                state.ema_params,
-            ),
-            state.ema_params,
-        )
-
-        new_state = TrainState(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            ema_params=new_ema,
-            skipped=state.skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
-        )
+        new_state, ok = guarded_update(state, tx, grads, loss, decay,
+                                       inputs_finite=finite_in)
         metrics = {
             "loss": jnp.where(ok, loss, jnp.nan),
             "ch_losses": ch_losses,

@@ -49,9 +49,13 @@ def main():
     ap.add_argument("--endpoint_seeds", type=int, default=4,
                     help="noise draws per patch for the endpoint target set")
     ap.add_argument("--skip_progressive", action="store_true",
-                    help="endpoint-only: fine-tune straight from the teacher")
+                    help="endpoint-only: fine-tune straight from the teacher "
+                         "(requires --endpoint_epochs > 0)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.skip_progressive and args.endpoint_epochs <= 0:
+        ap.error("--skip_progressive needs --endpoint_epochs > 0 "
+                 "(otherwise there is no student to score)")
 
     import numpy as np
     import jax
@@ -77,13 +81,13 @@ def main():
     model = UNetSmall(out_ch=4, base_ch=96, compute_dtype=jnp.bfloat16)
 
     if args.ckpt:
-        from s1s2.train.checkpoint import load_any_checkpoint
+        from s1s2.train.checkpoint import load_params
 
         variables = model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, args.size, args.size, 8), jnp.float32),
             jnp.zeros((1,), jnp.int32))
-        teacher = load_any_checkpoint(args.ckpt, template=variables["params"])
+        teacher = load_params(args.ckpt, template=variables["params"])
     else:
         from s1s2.train.loop import TrainConfig
         from s1s2.train.trainer import RunConfig, train_loop
