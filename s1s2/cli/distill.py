@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--endpoint_seeds", type=int, default=4)
     ap.add_argument("--endpoint_teacher_steps", type=int, default=20,
                     help="teacher sampler budget for the endpoint targets")
+    ap.add_argument("--endpoint_mode", choices=["anchored", "puregen"],
+                    default="anchored",
+                    help="anchored: distill the GT-anchored reconstruction "
+                         "map; puregen: distill pure generation from unit "
+                         "noise (use with --t_start 999)")
     ap.add_argument("--skip_progressive", action="store_true",
                     help="endpoint-only distillation from the raw teacher")
     return ap
@@ -122,7 +127,8 @@ def main(argv=None) -> None:
             model.apply, schedule, cfg, student, teacher, cond, x0, mask,
             epochs=args.endpoint_epochs, batch_size=args.batch_size,
             teacher_steps=args.endpoint_teacher_steps,
-            n_seeds=args.endpoint_seeds, progress=log, seed=args.seed)
+            n_seeds=args.endpoint_seeds, progress=log, seed=args.seed,
+            mode=args.endpoint_mode)
 
     save_model(student, args.model_path)
     print(json.dumps({

@@ -161,14 +161,19 @@ def ddim_generate(
     t_start: int = 200,
     steps: int = 20,
     clip: Tuple[float, float] = (0.0, 1.0),
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pure generation (ε): x_t ~ N(0, I) full scale, DDIM down the linspace
     grid, conditioned only through denoise_fn
     (`Evaluation_Updated/Evaluation_Pure_Generation.py:278-292`).
 
+    ``noise`` may be supplied as the stored init draw (fixed-noise sweeps
+    and distillation targets), mirroring ``ddim_anchored``.
+
     NOTE: faithfully does NOT clamp t_start (the reference indexes
     alpha_bar[linspace(t_start,0,...)] directly, e.g. t_start=999)."""
-    x_t = jax.random.normal(key, shape, jnp.float32)
+    x_t = (jax.random.normal(key, shape, jnp.float32)
+           if noise is None else jnp.asarray(noise, jnp.float32))
     return _ddim_linspace_scan(denoise_fn, x_t, schedule, t_start, steps, clip)
 
 

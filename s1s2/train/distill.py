@@ -303,6 +303,7 @@ def make_endpoint_distill_step(
     apply_fn: Callable,
     schedule: Schedule,
     cfg: DistillConfig,
+    pure_noise_init: bool = False,
 ) -> Callable:
     """Build ``step(state, batch, key) -> (state, metrics)`` for ENDPOINT
     distillation: the student, queried once at t = cfg.t_start, regresses
@@ -317,8 +318,15 @@ def make_endpoint_distill_step(
     noise, so each distill step costs one student fwd/bwd and no teacher
     calls.
 
+    ``pure_noise_init`` switches the student input from the anchored
+    ``q_sample(x0, noise, t_start)`` to the PURE-GENERATION convention
+    x_t = noise (unit scale, `ddim_generate`'s init,
+    `Evaluation_Updated/Evaluation_Pure_Generation.py:278`): the student
+    then learns the 1-call noise→image map against teacher full-chain
+    pure-gen outputs.
+
     batch = (cond, x0_data, mask, noise, x0_teacher): ``noise`` is the draw
-    used for both the teacher rollout's init and the student's q_sample, so
+    used for both the teacher rollout's init and the student's input, so
     student and teacher see the SAME x_{t_start}.
     """
     tx = make_distill_optimizer(cfg)
@@ -330,7 +338,11 @@ def make_endpoint_distill_step(
 
     def loss_fn(params, cond, x0, mask, noise, x0_tgt):
         B = x0.shape[0]
-        x_t = q_sample(x0, noise, jnp.full((B,), sab), jnp.full((B,), s1mab))
+        if pure_noise_init:
+            x_t = noise
+        else:
+            x_t = q_sample(x0, noise, jnp.full((B,), sab),
+                           jnp.full((B,), s1mab))
         pred = apply_fn({"params": params},
                         jnp.concatenate([x_t, cond], axis=-1),
                         jnp.full((B,), t_start, jnp.int32))
@@ -381,10 +393,17 @@ def endpoint_distill(
     log_every: int = 25,
     seed: int = 11,
     rollout_chunk: int = 32,
+    mode: str = "anchored",
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
     (1-step) student on them with ``make_endpoint_distill_step``.
+
+    ``mode="anchored"`` (default) distills the GT-anchored reconstruction
+    map (`ddim_anchored`); ``mode="puregen"`` distills the pure-generation
+    map (`ddim_generate`: x_init = unit noise, typically t_start=999) — the
+    reference's true_infer operating point
+    (`Evaluation_Updated/Evaluation_Pure_Generation.py:278-292`).
 
     Teacher rollouts run in ``rollout_chunk``-sized chunks (activations never
     scale with the dataset), and the (noise, target) set stays DEVICE-resident
@@ -394,8 +413,8 @@ def endpoint_distill(
     full-dataset NHWC arrays.
     """
     from s1s2.sampling.grids import round_unique_grid
-    from s1s2.sampling.samplers import (ddim_anchored, ddim_grid_sample,
-                                        make_denoise_fn)
+    from s1s2.sampling.samplers import (ddim_anchored, ddim_generate,
+                                        ddim_grid_sample, make_denoise_fn)
 
     t_par = Parameterization(teacher_param or cfg.teacher_param)
     teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
@@ -421,8 +440,19 @@ def endpoint_distill(
         sab_k = float(np.sqrt(ab_k))
         s1mab_k = float(np.sqrt(1.0 - ab_k))
 
+    if mode not in ("anchored", "puregen"):
+        raise ValueError(f"unknown endpoint mode {mode!r}")
+    if mode == "puregen" and t_par is not Parameterization.EPS:
+        raise ValueError("puregen endpoint targets need an eps teacher "
+                         "(distill the v teacher progressively first — all "
+                         "students carry the eps head)")
+
     def roll_teacher(cond_c, x0_c, nz_c):
         fn_c = make_denoise_fn(apply_fn, {"params": teacher}, cond_c)
+        if mode == "puregen":
+            return ddim_generate(fn_c, x0_c.shape, jax.random.PRNGKey(0),
+                                 schedule, cfg.t_start, teacher_steps,
+                                 noise=nz_c)
         if t_par is Parameterization.EPS:
             return ddim_anchored(fn_c, x0_c, jax.random.PRNGKey(0), schedule,
                                  cfg.t_start, teacher_steps, noise=nz_c)
@@ -451,8 +481,9 @@ def endpoint_distill(
         # never run zero steps: a tiny target set just becomes one batch
         batch_size = n_ep
 
-    step = jax.jit(make_endpoint_distill_step(apply_fn, schedule, cfg),
-                   donate_argnums=(0,))
+    step = jax.jit(make_endpoint_distill_step(
+        apply_fn, schedule, cfg, pure_noise_init=(mode == "puregen")),
+        donate_argnums=(0,))
     state = create_distill_state(student_params, cfg)
     rng = np.random.default_rng(seed)
     for ep in range(1, epochs + 1):

@@ -8,6 +8,7 @@ Core correctness is algebraic and exactly testable:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -271,3 +272,41 @@ def test_distill_cli_smoke(tmp_path, rng):
     assert np.isfinite(
         float(jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.abs(x).sum(), params, jnp.float32(0.0))))
+
+
+def test_endpoint_puregen_mode(rng):
+    """Pure-generation endpoint distillation: targets come from
+    ddim_generate (unit-noise init), the student consumes x_t = noise at
+    t_start, and the returned params drive a finite 1-step ddim_generate."""
+    from s1s2.sampling.samplers import ddim_generate
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=99, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    logs = []
+    student = endpoint_distill(
+        model.apply, schedule, cfg, teacher, teacher, cond, x0, mask,
+        epochs=2, batch_size=2, teacher_steps=4, n_seeds=1,
+        mode="puregen", progress=logs.append, log_every=1)
+    out = ddim_generate(
+        lambda x, t: model.apply({"params": student},
+                                 jnp.concatenate([x, cond], -1), t),
+        x0.shape, jax.random.PRNGKey(5), schedule, t_start=99, steps=1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(logs) == 2
+    assert all(np.isfinite(l["loss"]) for l in logs)
+
+
+def test_endpoint_puregen_rejects_v_teacher(rng):
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=99, teacher_param="v")
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    with pytest.raises(ValueError, match="eps teacher"):
+        endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
+                         cond, x0, mask, epochs=1, batch_size=2,
+                         mode="puregen")

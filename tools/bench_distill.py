@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--param", choices=("eps", "v"), default="eps",
                     help="teacher parameterization (the student always "
                          "carries an eps head; distill converts internally)")
+    ap.add_argument("--puregen", action="store_true",
+                    help="distill/score the PURE-GENERATION map "
+                         "(ddim_generate from unit noise; use with "
+                         "--t_start 999). eps teachers only.")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--endpoint_epochs", type=int, default=0,
                     help="after the progressive phases, fine-tune the 1-step "
@@ -56,6 +60,8 @@ def main():
     if args.skip_progressive and args.endpoint_epochs <= 0:
         ap.error("--skip_progressive needs --endpoint_epochs > 0 "
                  "(otherwise there is no student to score)")
+    if args.puregen and args.param != "eps":
+        ap.error("--puregen needs an eps teacher")
 
     import numpy as np
     import jax
@@ -66,8 +72,9 @@ def main():
     from s1s2.data.dataset import NpzPatchDataset
     from s1s2.data.synthetic import make_synthetic_patches
     from s1s2.models import UNetSmall
-    from s1s2.sampling import (ddim_anchored, ddim_grid_sample,
-                               dpm_solver_2m, make_denoise_fn)
+    from s1s2.sampling import (ddim_anchored, ddim_generate,
+                               ddim_grid_sample, dpm_solver_2m,
+                               make_denoise_fn)
     from s1s2.sampling.grids import round_unique_grid
     from s1s2.train.distill import DistillConfig, progressive_distill
 
@@ -136,7 +143,10 @@ def main():
         fn = make_denoise_fn(model.apply, {"params": params}, cond)
         p = Parameterization(param)
         for steps in steps_list:
-            if param == "eps":
+            if args.puregen:
+                out = ddim_generate(fn, gt.shape, key, schedule,
+                                    args.t_start, steps, noise=noise)
+            elif param == "eps":
                 out = ddim_anchored(fn, gt, key, schedule, args.t_start,
                                     steps, noise=noise)
             else:
@@ -155,7 +165,9 @@ def main():
                               "mae": round(rows[(tag, "dpm2m5")], 5)}),
                   flush=True)
 
-    score("teacher", teacher, (20, 2, 1), dpm=True, param=args.param)
+    anchor_steps = 50 if args.puregen else 20
+    score("teacher", teacher, (anchor_steps, 2, 1), dpm=not args.puregen,
+          param=args.param)
 
     cfg = DistillConfig(  # noqa: E501  (shared by both distill modes)
         T=T, t_start=args.t_start, teacher_steps=args.teacher_steps,
@@ -195,7 +207,8 @@ def main():
             model.apply, schedule, cfg, student, teacher,
             cond, gt, mask,
             epochs=args.endpoint_epochs, batch_size=args.batch,
-            teacher_steps=20, n_seeds=args.endpoint_seeds,
+            teacher_steps=anchor_steps, n_seeds=args.endpoint_seeds,
+            mode="puregen" if args.puregen else "anchored",
             progress=lambda d: print(json.dumps(d), flush=True))
         save_model(student, os.path.join(work, "student_endpoint.msgpack"))
         score("student_ep", student, (1,))
@@ -203,11 +216,12 @@ def main():
     best1 = min(v for (tag, s), v in rows.items()
                 if s == 1 and tag != "teacher")
     summary = {
-        "teacher_ddim20_mae": round(rows[("teacher", 20)], 5),
+        "teacher_anchor_steps": anchor_steps,
+        "teacher_ddim20_mae": round(rows[("teacher", anchor_steps)], 5),
         "teacher_ddim1_mae": round(rows[("teacher", 1)], 5),
         "student_ddim1_mae": round(best1, 5),
         "quality_matched_distill1": bool(
-            best1 <= rows[("teacher", 20)] * 1.01),
+            best1 <= rows[("teacher", anchor_steps)] * 1.01),
         "workdir": work,
     }
     if ("student", 2) in rows:
@@ -224,14 +238,18 @@ def main():
                           jnp.full((x_c.shape[0],), tval, jnp.int32)))
         qp = quantize_unet(student, calib)
         fn_q = make_quant_denoise_fn(qp, cond)
-        out = ddim_anchored(fn_q, gt, key, schedule, args.t_start, 1,
-                            noise=noise)
+        if args.puregen:
+            out = ddim_generate(fn_q, gt.shape, key, schedule, args.t_start,
+                                1, noise=noise)
+        else:
+            out = ddim_anchored(fn_q, gt, key, schedule, args.t_start, 1,
+                                noise=noise)
         m = mae(out)
         print(json.dumps({"model": "student_int8", "sampler": "ddim",
                           "steps": 1, "mae": round(m, 5)}), flush=True)
         summary["student_int8_ddim1_mae"] = round(m, 5)
         summary["quality_matched_distill1_int8"] = bool(
-            m <= rows[("teacher", 20)] * 1.01)
+            m <= rows[("teacher", anchor_steps)] * 1.01)
 
     print(json.dumps(summary))
 
