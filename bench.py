@@ -18,7 +18,7 @@ Prints JSON lines (driver parses the LAST):
      128→12.3).
   4. HEADLINE (last): 1-step endpoint-distilled student + int8, at
      ddim-20-matched reconstruction quality. Evidence: the
-     endpoint-distilled 1-step student scores MAE 0.411 (int8 0.409) vs
+     endpoint-distilled 1-step student scores MAE 0.356 (int8 0.365) vs
      its teacher's 20-step DDIM 0.441 on the same eval
      (tools/bench_distill.py run; raw rows in
      examples/results_synthetic/distill_evidence.jsonl; BENCH_NOTES.md
@@ -133,7 +133,7 @@ def main() -> None:
     _report("patches_per_sec_per_chip_distill1_int8_at_ddim20_quality_256px",
             timed(run_distill1, cond, gt, 30),
             config="endpoint-distilled 1-step student, int8 "
-                   "(MAE 0.409 vs teacher ddim-20 0.441; "
+                   "(MAE 0.365 vs teacher ddim-20 0.441; "
                    "examples/results_synthetic/distill_evidence.jsonl)",
             weights="random-init, throughput-only: the student is "
                     "architecturally identical to the teacher, so runtime "
