@@ -336,6 +336,14 @@ def make_endpoint_distill_step(
     s1mab = np.float32(np.sqrt(1.0 - ab))
     decay = cfg.ema_decay
 
+    # the ε-head's implied x0 is (x_t − σ·pred)/√(ᾱ+1e-8): at t_start≈T the
+    # 1/√ᾱ factor is ~1e4, so an x0-space MSE is catastrophically scaled
+    # (observed: puregen losses ~1e8). Regress in ε-space instead — same
+    # minimizer (ε_req is the exact ε whose one-step x0̂ equals the teacher
+    # endpoint), conditioned O(1) at every t; for the anchored t_start=200
+    # case this is the x0 loss scaled by the constant ᾱ (AdamW-invariant).
+    g_guard = np.float32(np.sqrt(ab + 1e-8))
+
     def loss_fn(params, cond, x0, mask, noise, x0_tgt):
         B = x0.shape[0]
         if pure_noise_init:
@@ -346,15 +354,13 @@ def make_endpoint_distill_step(
         pred = apply_fn({"params": params},
                         jnp.concatenate([x_t, cond], axis=-1),
                         jnp.full((B,), t_start, jnp.int32))
-        x0_pred, _ = pred_to_x0_eps(
-            Parameterization.EPS, x_t, pred,
-            jnp.full((B,), sab), jnp.full((B,), s1mab))
+        eps_req = (x_t - g_guard * jax.lax.stop_gradient(x0_tgt)) / s1mab
         m = mask[..., None].astype(jnp.float32)
         if cfg.mask_as_weights:
             m = m / jnp.clip(m.mean(), 1e-6, None)
         else:
             m = (m > 0).astype(jnp.float32)
-        err2 = m * (x0_pred - jax.lax.stop_gradient(x0_tgt)) ** 2
+        err2 = m * (pred - eps_req) ** 2
         loss = err2.sum() / jnp.clip(m.sum() * x0.shape[-1], 1e-6, None)
         ch = err2.sum(axis=(0, 1, 2)) / jnp.clip(m.sum(), 1e-6, None)
         return loss, ch
