@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--teacher", default="teacher_last.msgpack")
     ap.add_argument("--student", default="student_endpoint.msgpack")
     ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--param", choices=("eps", "v"), default="eps",
+                    help="TEACHER parameterization (students are always eps)")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--out", default=None, help="write rows to this JSONL")
     args = ap.parse_args()
@@ -88,13 +90,27 @@ def main():
                           for k, v in row.items()}), flush=True)
         return row
 
-    def run(params, steps):
+    def run(params, steps, param="eps"):
         fn = make_denoise_fn(model.apply, {"params": params}, cond)
-        return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
-                             noise=noise)
+        if param == "eps":
+            return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
+                                 noise=noise)
+        # v teachers: round-unique grid sampler with the anchored init
+        # (same convention as tools/bench_distill.py --param v)
+        from s1s2.core.parametrize import Parameterization, q_sample
+        from s1s2.sampling import ddim_grid_sample
+        from s1s2.sampling.grids import round_unique_grid
 
-    t20 = score("teacher_ddim20", run(teacher, 20))
-    score("teacher_ddim1", run(teacher, 1))
+        ab = schedule.alpha_bar_np()
+        grid = round_unique_grid(args.t_start, steps, schedule.T)
+        K = int(grid[-1])
+        x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
+                          float(np.sqrt(1.0 - ab[K])))
+        return ddim_grid_sample(fn, x_init, key, schedule, grid,
+                                Parameterization.V)
+
+    t20 = score("teacher_ddim20", run(teacher, 20, args.param))
+    score("teacher_ddim1", run(teacher, 1, args.param))
     s1 = score("student_ep_ddim1", run(student, 1))
 
     if args.int8:
