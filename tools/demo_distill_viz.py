@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--param", choices=("eps", "v"), default="eps",
+                    help="TEACHER parameterization (students are always eps)")
     args = ap.parse_args()
 
     import numpy as np
@@ -40,7 +42,12 @@ def main():
     from s1s2.models import UNetSmall
     from s1s2.sampling import ddim_anchored, make_denoise_fn
     from s1s2.train.checkpoint import load_any_checkpoint
-    from s1s2.viz.render import hstack_compare, true_color
+    from s1s2.viz.render import true_color
+
+    def strip3(a, b, c, gap=6):
+        h = a.shape[0]
+        pad = np.full((h, gap, 3), 255, np.uint8)
+        return np.concatenate([a, pad, b, pad, c], axis=1)
 
     ds = NpzPatchDataset(os.path.join(args.workdir, "patches"))
     items = [ds[i] for i in range(min(args.k, len(ds)))]
@@ -61,29 +68,40 @@ def main():
     key = jax.random.PRNGKey(1234)
     noise = jax.random.normal(key, gt.shape)
 
-    def run(params, steps):
+    def run(params, steps, param="eps"):
         fn = make_denoise_fn(model.apply, {"params": params}, cond)
-        return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
-                             noise=noise)
+        if param == "eps":
+            return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
+                                 noise=noise)
+        from s1s2.core.parametrize import Parameterization, q_sample
+        from s1s2.sampling import ddim_grid_sample
+        from s1s2.sampling.grids import round_unique_grid
 
-    t20 = run(teacher, 20)
+        ab = schedule.alpha_bar_np()
+        grid = round_unique_grid(args.t_start, steps, schedule.T)
+        K = int(grid[-1])
+        x_init = q_sample(gt, noise, float(np.sqrt(ab[K])),
+                          float(np.sqrt(1.0 - ab[K])))
+        return ddim_grid_sample(fn, x_init, key, schedule, grid,
+                                Parameterization.V)
+
+    t20 = run(teacher, 20, args.param)
     s1 = run(student, 1)
 
     os.makedirs(args.out, exist_ok=True)
     rows = []
     for i in range(gt.shape[0]):
-        strip = hstack_compare(
-            hstack_compare(true_color(np.asarray(gt[i])),
-                           true_color(np.asarray(t20[i]))),
-            true_color(np.asarray(s1[i])))
+        strip = strip3(true_color(np.asarray(gt[i])),
+                       true_color(np.asarray(t20[i])),
+                       true_color(np.asarray(s1[i])))
         Image.fromarray(strip).save(
             os.path.join(args.out, f"patch{i:02d}_gt_teacher20_student1.png"))
         rows.append({
             "patch": i,
-            "teacher20_mae": round(float(
-                masked_mae_per_sample(t20[i:i + 1], gt[i:i + 1])[0]), 5),
-            "student1_mae": round(float(
-                masked_mae_per_sample(s1[i:i + 1], gt[i:i + 1])[0]), 5),
+            "teacher20_mae": round(float(np.asarray(
+                masked_mae_per_sample(t20[i:i + 1], gt[i:i + 1])).reshape(-1)[0]), 5),
+            "student1_mae": round(float(np.asarray(
+                masked_mae_per_sample(s1[i:i + 1], gt[i:i + 1])).reshape(-1)[0]), 5),
         })
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({"layout": "GT | teacher ddim-20 | student ddim-1",
