@@ -38,6 +38,12 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh_data", type=int, default=0,
                     help="shard tile batches over N devices' 'data' axis "
                          "(0 = single device); batch_size must divide by N")
+    ap.add_argument("--fast_transfer", action="store_true",
+                    help="remote-runtime transfer optimizations: draw the "
+                         "init noise on device (deterministic per tile), "
+                         "move cond/pred over the wire in f16, and keep 3 "
+                         "batches in flight (2.3x scene speedup measured; "
+                         "BENCH_NOTES.md 'Scene inference')")
     ap.add_argument("--int8", action="store_true",
                     help="quantized int8 inference (models/quant.py); "
                          "calibrated on the scene's first tile batch")
@@ -122,6 +128,14 @@ def main(argv=None) -> None:
 
     @jax.jit
     def predict_batch(cond_b, noise_b):
+        cond_b = cond_b.astype(jnp.float32)
+        if args.fast_transfer:
+            # noise_b arrives as (B,) int32 seeds; draw on device
+            ps_n = args.patch_size
+            noise_b = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.PRNGKey(s), (ps_n, ps_n, args.out_ch),
+                    jnp.float32))(noise_b)
         if qp is not None:
             from s1s2.models.quant import (
                 make_quant_cfg_denoise_fn,
@@ -140,12 +154,16 @@ def main(argv=None) -> None:
             from s1s2.sampling import dpm_solver_2m
 
             x_init = noise_b if param is Parameterization.EPS else noise_b * vscale
-            return dpm_solver_2m(fn, x_init, schedule, grid, param)
-        if param is Parameterization.EPS:
-            return _ddim_linspace_scan(fn, noise_b, schedule, args.t_start,
-                                       args.ddim_steps, (0.0, 1.0))
-        return ddim_grid_sample(fn, noise_b * vscale, jax.random.PRNGKey(args.seed),
-                                schedule, grid, Parameterization.V, eta=args.eta)
+            out = dpm_solver_2m(fn, x_init, schedule, grid, param)
+        elif param is Parameterization.EPS:
+            out = _ddim_linspace_scan(fn, noise_b, schedule, args.t_start,
+                                      args.ddim_steps, (0.0, 1.0))
+        else:
+            out = ddim_grid_sample(fn, noise_b * vscale,
+                                   jax.random.PRNGKey(args.seed),
+                                   schedule, grid, Parameterization.V,
+                                   eta=args.eta)
+        return out.astype(jnp.float16) if args.fast_transfer else out
 
     predict = predict_batch
     if args.mesh_data:
@@ -155,10 +173,12 @@ def main(argv=None) -> None:
                          devices=jax.devices()[: args.mesh_data])
         predict = shard_predict_batch(predict_batch, mesh)
 
+    fast = dict(noise="device", transfer_dtype=np.float16,
+                pipeline=3) if args.fast_transfer else {}
     out = infer_scene(
         predict, scene, args.out_ch, ps=args.patch_size,
         stride=args.stride, batch_size=args.batch_size, mask_scene=mask,
-        normalize=args.normalize, rng_seed=args.seed,
+        normalize=args.normalize, rng_seed=args.seed, **fast,
     )
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -69,23 +69,45 @@ def infer_scene(
     mask_scene: Optional[np.ndarray] = None,
     normalize: bool = False,
     rng_seed: int = 0,
+    noise: str = "host",
+    transfer_dtype: Optional[np.dtype] = None,
+    pipeline: int = 1,
 ) -> np.ndarray:
     """Stitched prediction for a whole scene.
 
     predict_batch(cond (B,ps,ps,Cc), noise (B,ps,ps,out_ch)) -> (B,ps,ps,out_ch)
     — any jitted sampler closure. ``noise`` is provided per tile
     (deterministic per tile index) so re-runs are reproducible.
+
+    On a remote-device runtime the host↔device transfers dominate scene
+    time (BENCH_NOTES.md "Scene inference"). Two knobs cut them:
+
+    * ``noise="device"``: instead of uploading a (B,ps,ps,out_ch) noise
+      array per batch, ``predict_batch(cond_b, seeds_b)`` receives an
+      (B,)-int32 array ``rng_seed*2**20 + tile_index`` and must draw its
+      own noise (e.g. ``jax.vmap(lambda s: jax.random.normal(
+      jax.random.PRNGKey(s), (ps, ps, C)))``). Still deterministic per
+      (seed, tile).
+    * ``transfer_dtype=np.float16``: upload cond tiles in f16 (the model
+      computes in bf16 anyway; cast back inside the predictor).
+
+    ``pipeline`` keeps that many batches in flight before blocking on the
+    oldest result — JAX dispatch is async, so device compute overlaps the
+    host stitch and the next upload (pipeline=1 reproduces the serial
+    behavior; 2-4 measured best on the remote tunnel).
     """
     H, W, _ = cond_scene.shape
     if H < ps or W < ps:
         raise ValueError(f"scene {H}x{W} smaller than patch size {ps}")
+    if noise not in ("host", "device"):
+        raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
     coords = tile_coords(H, W, ps, stride)
     win = feather_window(ps)
-    acc = np.zeros((H, W, out_ch), np.float64)
-    wacc = np.zeros((H, W, 1), np.float64)
+    acc = np.zeros((H, W, out_ch), np.float32)
+    wacc = np.zeros((H, W, 1), np.float32)
     rng = np.random.default_rng(rng_seed)
 
-    for s in range(0, len(coords), batch_size):
+    def dispatch(s):
         chunk = coords[s : s + batch_size]
         tiles = []
         for r, c in chunk:
@@ -99,12 +121,32 @@ def infer_scene(
         while len(tiles) < batch_size:  # pad to the jit signature
             tiles.append(tiles[-1])
         cond_b = np.stack(tiles)
-        noise_b = rng.standard_normal(
-            (batch_size, ps, ps, out_ch)
-        ).astype(np.float32)
-        pred = np.asarray(predict_batch(cond_b, noise_b))
+        if transfer_dtype is not None:
+            cond_b = cond_b.astype(transfer_dtype)
+        if noise == "device":
+            idx = [s + j for j in range(n_valid)]
+            idx += [idx[-1]] * (batch_size - n_valid)
+            noise_b = np.asarray(
+                [rng_seed * (1 << 20) + i for i in idx], np.int32)
+        else:
+            noise_b = rng.standard_normal(
+                (batch_size, ps, ps, out_ch)
+            ).astype(np.float32)
+        return chunk, n_valid, predict_batch(cond_b, noise_b)
+
+    def stitch(chunk, n_valid, pred):
+        pred = np.asarray(pred, np.float32)
         for j in range(n_valid):
             r, c = chunk[j]
             acc[r : r + ps, c : c + ps] += pred[j] * win[..., None]
             wacc[r : r + ps, c : c + ps] += win[..., None]
-    return (acc / np.maximum(wacc, 1e-8)).astype(np.float32)
+
+    window = max(1, int(pipeline))
+    in_flight: List = []
+    for s in range(0, len(coords), batch_size):
+        in_flight.append(dispatch(s))
+        if len(in_flight) >= window:
+            stitch(*in_flight.pop(0))
+    for item in in_flight:
+        stitch(*item)
+    return acc / np.maximum(wacc, 1e-8)

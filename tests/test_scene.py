@@ -64,3 +64,45 @@ class TestInferScene:
         out = normalize_tile(tile, mask)
         assert abs(out[..., 0].mean()) < 1e-4  # z-scored HH
         assert np.isfinite(out).all()
+
+
+class TestFastTransfer:
+    def test_device_noise_and_pipeline_equivalence(self):
+        """noise='device' passes (B,) int32 seeds; pipeline depth must not
+        change the stitched output (dispatch order is preserved)."""
+        import jax
+        import jax.numpy as jnp
+
+        calls = []
+
+        def pred(cond_b, seeds_b):
+            assert seeds_b.dtype == np.int32 and seeds_b.ndim == 1
+            calls.append(np.asarray(seeds_b).copy())
+            noise = jax.vmap(lambda s: jax.random.normal(
+                jax.random.PRNGKey(s), cond_b.shape[1:3] + (4,)))(
+                jnp.asarray(seeds_b))
+            return cond_b.astype(jnp.float32) * 0.5 + 0.01 * noise
+
+        rng = np.random.default_rng(0)
+        scene = rng.standard_normal((64, 64, 4)).astype(np.float32)
+        out1 = infer_scene(pred, scene, out_ch=4, ps=32, stride=16,
+                           batch_size=3, noise="device", rng_seed=7)
+        out3 = infer_scene(pred, scene, out_ch=4, ps=32, stride=16,
+                           batch_size=3, noise="device", rng_seed=7,
+                           pipeline=3)
+        np.testing.assert_array_equal(out1, out3)
+        # seeds deterministic in rng_seed and tile index
+        assert all((c >= 7 * (1 << 20)).all() for c in calls)
+
+    def test_f16_transfer_dtype(self):
+        seen = {}
+
+        def pred(cond_b, noise_b):
+            seen["dtype"] = cond_b.dtype
+            return cond_b.astype(np.float32) * 0.0 + 0.5
+
+        scene = np.zeros((32, 32, 4), np.float32)
+        out = infer_scene(pred, scene, out_ch=4, ps=32, stride=32,
+                          batch_size=1, transfer_dtype=np.float16)
+        assert seen["dtype"] == np.float16
+        np.testing.assert_allclose(out, 0.5, atol=1e-6)
