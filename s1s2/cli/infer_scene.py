@@ -76,21 +76,16 @@ def main(argv=None) -> None:
     schedule = Schedule.cosine(args.T)
     param = Parameterization(args.pred_param)
 
-    # load params via the converter/msgpack path without a dataset
-    if args.ckpt.endswith(".pth"):
-        from s1s2.models.convert import load_pth_checkpoint
+    # uniform checkpoint loading: .pth converter, msgpack, or orbax dir
+    from s1s2.train.checkpoint import load_params
 
-        variables = load_pth_checkpoint(args.ckpt)
-    else:
-        from s1s2.train.checkpoint import load_model
-
-        ps = args.patch_size
-        template = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, ps, ps, scene.shape[-1] + args.out_ch)),
-            jnp.zeros((1,), jnp.int32),
-        )["params"]
-        variables = {"params": load_model(template, args.ckpt)}
+    ps = args.patch_size
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, ps, ps, scene.shape[-1] + args.out_ch)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    variables = {"params": load_params(args.ckpt, template=template)}
 
     grid = round_unique_grid(args.t_start, args.ddim_steps, args.T)
     ab = float(schedule.alpha_bar_np()[min(max(args.t_start, 1), args.T - 1)])
@@ -129,8 +124,10 @@ def main(argv=None) -> None:
     @jax.jit
     def predict_batch(cond_b, noise_b):
         cond_b = cond_b.astype(jnp.float32)
+        seeds_tag = None
         if args.fast_transfer:
             # noise_b arrives as (B,) int32 seeds; draw on device
+            seeds_tag = noise_b[0]
             ps_n = args.patch_size
             noise_b = jax.vmap(
                 lambda s: jax.random.normal(
@@ -159,8 +156,16 @@ def main(argv=None) -> None:
             out = _ddim_linspace_scan(fn, noise_b, schedule, args.t_start,
                                       args.ddim_steps, (0.0, 1.0))
         else:
+            # vary the stochastic-eta key per tile batch (deterministically):
+            # fold in a tag derived from this batch's noise/seed payload
+            if args.fast_transfer:
+                tag = seeds_tag
+            else:
+                tag = jax.lax.bitcast_convert_type(
+                    noise_b[0, 0, 0, 0], jnp.int32)
             out = ddim_grid_sample(fn, noise_b * vscale,
-                                   jax.random.PRNGKey(args.seed),
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(args.seed), tag),
                                    schedule, grid, Parameterization.V,
                                    eta=args.eta)
         return out.astype(jnp.float16) if args.fast_transfer else out

@@ -99,6 +99,10 @@ def infer_scene(
     H, W, _ = cond_scene.shape
     if H < ps or W < ps:
         raise ValueError(f"scene {H}x{W} smaller than patch size {ps}")
+    if stride > ps:
+        raise ValueError(
+            f"stride {stride} > patch size {ps} would leave uncovered gap "
+            "stripes in the stitched output")
     if noise not in ("host", "device"):
         raise ValueError(f"noise must be 'host' or 'device', got {noise!r}")
     coords = tile_coords(H, W, ps, stride)
@@ -126,8 +130,11 @@ def infer_scene(
         if noise == "device":
             idx = [s + j for j in range(n_valid)]
             idx += [idx[-1]] * (batch_size - n_valid)
+            # mix seed and tile index into 31 bits (big seeds, e.g.
+            # timestamps, must not overflow the int32 cast)
             noise_b = np.asarray(
-                [rng_seed * (1 << 20) + i for i in idx], np.int32)
+                [(rng_seed * (1 << 20) + i) & 0x7FFFFFFF for i in idx],
+                np.int32)
         else:
             noise_b = rng.standard_normal(
                 (batch_size, ps, ps, out_ch)

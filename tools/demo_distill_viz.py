@@ -41,7 +41,7 @@ def main():
     from s1s2.eval.metrics import masked_mae_per_sample
     from s1s2.models import UNetSmall
     from s1s2.sampling import ddim_anchored, make_denoise_fn
-    from s1s2.train.checkpoint import load_any_checkpoint
+    from s1s2.train.checkpoint import load_params
     from s1s2.viz.render import true_color
 
     def strip3(a, b, c, gap=6):
@@ -53,16 +53,19 @@ def main():
     items = [ds[i] for i in range(min(args.k, len(ds)))]
     cond = jnp.asarray(np.stack([d["cond"] for d in items]))
     gt = jnp.asarray(np.stack([d["target"] for d in items]))
+    mask = jnp.asarray(np.stack([
+        np.ones(d["target"].shape[:2], np.float32)
+        if d["mask"] is None else d["mask"] for d in items]))
 
     model = UNetSmall(out_ch=4, base_ch=96, compute_dtype=jnp.bfloat16)
     tmpl = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1,) + gt.shape[1:3] + (8,), jnp.float32),
         jnp.zeros((1,), jnp.int32))["params"]
-    teacher = load_any_checkpoint(os.path.join(args.workdir, args.teacher),
-                                  template=tmpl)
-    student = load_any_checkpoint(os.path.join(args.workdir, args.student),
-                                  template=tmpl)
+    teacher = load_params(os.path.join(args.workdir, args.teacher),
+                          template=tmpl)
+    student = load_params(os.path.join(args.workdir, args.student),
+                          template=tmpl)
 
     schedule = Schedule.cosine(1000)
     key = jax.random.PRNGKey(1234)
@@ -99,9 +102,9 @@ def main():
         rows.append({
             "patch": i,
             "teacher20_mae": round(float(np.asarray(
-                masked_mae_per_sample(t20[i:i + 1], gt[i:i + 1])).reshape(-1)[0]), 5),
+                masked_mae_per_sample(t20[i:i + 1], gt[i:i + 1], mask[i:i + 1])).reshape(-1)[0]), 5),
             "student1_mae": round(float(np.asarray(
-                masked_mae_per_sample(s1[i:i + 1], gt[i:i + 1])).reshape(-1)[0]), 5),
+                masked_mae_per_sample(s1[i:i + 1], gt[i:i + 1], mask[i:i + 1])).reshape(-1)[0]), 5),
         })
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({"layout": "GT | teacher ddim-20 | student ddim-1",

@@ -42,7 +42,7 @@ def main():
     from s1s2.eval import metrics as M
     from s1s2.models import UNetSmall
     from s1s2.sampling import ddim_anchored, make_denoise_fn
-    from s1s2.train.checkpoint import load_any_checkpoint
+    from s1s2.train.checkpoint import load_params
 
     T = 1000
     schedule = Schedule.cosine(T)
@@ -65,10 +65,10 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1,) + gt.shape[1:3] + (8,),
                                          jnp.float32),
         jnp.zeros((1,), jnp.int32))["params"]
-    teacher = load_any_checkpoint(os.path.join(args.workdir, args.teacher),
-                                  template=tmpl)
-    student = load_any_checkpoint(os.path.join(args.workdir, args.student),
-                                  template=tmpl)
+    teacher = load_params(os.path.join(args.workdir, args.teacher),
+                          template=tmpl)
+    student = load_params(os.path.join(args.workdir, args.student),
+                          template=tmpl)
 
     key = jax.random.PRNGKey(1234)
     noise = jax.random.normal(key, gt.shape)
@@ -82,7 +82,7 @@ def main():
             "mse": float(M.masked_mse(pred, gt, mask)),
             "psnr": float(M.psnr(pred, gt, mask)),
             "ssim": float(M.ssim_simple(pred, gt)),
-            "sam_deg": float(M.sam(pred, gt, mask)),
+            "sam_rad": float(M.sam(pred, gt, mask)),
             "ergas": float(M.ergas(pred, gt, mask)),
         }
         rows.append(row)
@@ -120,7 +120,8 @@ def main():
         ab = schedule.alpha_bar_np()
         calib = []
         ck = jax.random.PRNGKey(5)
-        for tval in (args.t_start, args.t_start // 2, 20):
+        t_hi = min(max(args.t_start, 1), schedule.T - 1)
+        for tval in (t_hi, max(t_hi // 2, 1), 20):
             ck, sub = jax.random.split(ck)
             x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
                            float(np.sqrt(ab[tval])),
@@ -138,7 +139,7 @@ def main():
         "quality_matched_full": bool(
             s1["mae"] <= t20["mae"] * 1.01
             and s1["ssim"] >= t20["ssim"] - 0.01
-            and s1["sam_deg"] <= t20["sam_deg"] * 1.05),
+            and s1["sam_rad"] <= t20["sam_rad"] * 1.05),
     }
     rows.append(summary)
     print(json.dumps(summary), flush=True)
