@@ -7,6 +7,12 @@ Distills a trained ε- or v-checkpoint into a few-step (default 1-step)
 checkpoint that every eval/inference CLI accepts (run it with
 ``evaluate --mode ddim --steps <final_steps>``).
 
+The recipe that measured quality-matched on the real chip (BENCH_NOTES.md
+"Step distillation"): progressive phases at --epochs_per_phase 250 THEN
+--endpoint_epochs 150. Endpoint-only (--skip_progressive) from a raw
+teacher underperforms badly at t_start=200; it is the right mode only for
+--endpoint_mode puregen, where full-range progressive diverges.
+
     python -m s1s2 distill --patch_dir P --teacher out/model.msgpack \
         --model_path out/distilled.msgpack --t_start 200 \
         --teacher_steps 16 --final_steps 1 --epochs_per_phase 4
@@ -55,7 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "map; puregen: distill pure generation from unit "
                          "noise (use with --t_start 999)")
     ap.add_argument("--skip_progressive", action="store_true",
-                    help="endpoint-only distillation from the raw teacher")
+                    help="endpoint-only distillation from the raw teacher. "
+                         "NOTE: measured weak at t_start=200 (a raw-teacher "
+                         "80-epoch endpoint run scored 0.487 vs 0.356 for "
+                         "progressive+endpoint on the same teacher) — "
+                         "prefer the default progressive phases followed "
+                         "by --endpoint_epochs")
     return ap
 
 

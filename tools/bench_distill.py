@@ -1,8 +1,9 @@
 """Evidence run for the distilled few-step sampler (BENCH_NOTES.md).
 
-Trains a soak ε-teacher on synthetic patches (or loads --ckpt), distills it
-16→8→4→2→1 steps with s1s2.train.distill, then scores GT-anchored
-reconstruction MAE at t_start=200 for:
+Trains a soak teacher on synthetic patches (or loads --ckpt; --param picks
+ε or v), distills it 16→8→4→2→1 steps with s1s2.train.distill (plus the
+optional endpoint fine-tune), then scores GT-anchored reconstruction MAE
+at t_start=200 for:
 
     teacher:  ddim-20 (the quality anchor), ddim-2, ddim-1 (undistilled
               few-step baselines), dpm2m-5
@@ -180,11 +181,12 @@ def main():
     # per epoch over the remote-device tunnel
     n_ds = cond.shape[0]
     mask_d = jnp.asarray(mask)
+    bsz = min(args.batch, n_ds)  # never zero batches on tiny sets
 
     def device_batches(seed):
         order = np.random.default_rng(seed).permutation(n_ds)
-        for lo in range(0, n_ds - args.batch + 1, args.batch):
-            idx = jnp.asarray(order[lo:lo + args.batch])
+        for lo in range(0, n_ds - bsz + 1, bsz):
+            idx = jnp.asarray(order[lo:lo + bsz])
             yield (jnp.take(cond, idx, axis=0), jnp.take(gt, idx, axis=0),
                    jnp.take(mask_d, idx, axis=0))
 
