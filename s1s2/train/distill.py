@@ -304,6 +304,7 @@ def make_endpoint_distill_step(
     schedule: Schedule,
     cfg: DistillConfig,
     pure_noise_init: bool = False,
+    spectral_w: float = 0.0,
 ) -> Callable:
     """Build ``step(state, batch, key) -> (state, metrics)`` for ENDPOINT
     distillation: the student, queried once at t = cfg.t_start, regresses
@@ -317,6 +318,12 @@ def make_endpoint_distill_step(
     sampler (e.g. ``ddim_anchored(teacher, ..., steps=20)``) under stored
     noise, so each distill step costs one student fwd/bwd and no teacher
     calls.
+
+    ``spectral_w`` adds a per-pixel spectral-angle term
+    ``w·mean(1 − cos(x0_pred, x0_tgt))`` to the ε-space regression —
+    endpoint students can trade spectral direction (SAM) for magnitude
+    metrics; this term buys it back (measured on the ε family, BENCH_NOTES
+    "Step distillation").
 
     ``pure_noise_init`` switches the student input from the anchored
     ``q_sample(x0, noise, t_start)`` to the PURE-GENERATION convention
@@ -362,6 +369,16 @@ def make_endpoint_distill_step(
             m = (m > 0).astype(jnp.float32)
         err2 = m * (pred - eps_req) ** 2
         loss = err2.sum() / jnp.clip(m.sum() * x0.shape[-1], 1e-6, None)
+        if spectral_w > 0.0:
+            x0_pred = (x_t - s1mab * pred) / g_guard
+            tgt = jax.lax.stop_gradient(x0_tgt)
+            dot = (x0_pred * tgt).sum(-1)
+            nrm = (jnp.clip(jnp.sqrt((x0_pred**2).sum(-1)), 1e-6, None)
+                   * jnp.clip(jnp.sqrt((tgt**2).sum(-1)), 1e-6, None))
+            cos = jnp.clip(dot / nrm, -1.0, 1.0)
+            mm = m[..., 0]
+            loss = loss + spectral_w * ((1.0 - cos) * mm).sum() / jnp.clip(
+                mm.sum(), 1e-6, None)
         ch = err2.sum(axis=(0, 1, 2)) / jnp.clip(m.sum(), 1e-6, None)
         return loss, ch
 
@@ -400,6 +417,7 @@ def endpoint_distill(
     seed: int = 11,
     rollout_chunk: int = 32,
     mode: str = "anchored",
+    spectral_w: float = 0.0,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
@@ -488,7 +506,8 @@ def endpoint_distill(
         batch_size = n_ep
 
     step = jax.jit(make_endpoint_distill_step(
-        apply_fn, schedule, cfg, pure_noise_init=(mode == "puregen")),
+        apply_fn, schedule, cfg, pure_noise_init=(mode == "puregen"),
+        spectral_w=spectral_w),
         donate_argnums=(0,))
     state = create_distill_state(student_params, cfg)
     rng = np.random.default_rng(seed)

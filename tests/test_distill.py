@@ -310,3 +310,26 @@ def test_endpoint_puregen_rejects_v_teacher(rng):
         endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
                          cond, x0, mask, epochs=1, batch_size=2,
                          mode="puregen")
+
+
+def test_endpoint_spectral_term(rng):
+    """spectral_w adds a bounded cosine term: loss stays finite and the
+    step still trains (regression for the SAM-regularizer knob)."""
+    from s1s2.train.distill import make_endpoint_distill_step
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, lr=3e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    noise = jnp.asarray(rng.standard_normal(x0.shape), jnp.float32)
+    x0_tgt = jnp.clip(x0 + 0.05, 0, 1)
+    step = jax.jit(make_endpoint_distill_step(
+        model.apply, schedule, cfg, spectral_w=0.5), donate_argnums=(0,))
+    state = create_distill_state(teacher, cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, (cond, x0, mask, noise, x0_tgt),
+                              jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
