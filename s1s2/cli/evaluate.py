@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decompress the npz dataset once into mmap'd .npy "
                          "files here (multi-pass modes re-read data per "
                          "seed/config; zlib dominates the host otherwise)")
+    ap.add_argument("--noise_npz", type=str, default=None,
+                    help="inject explicit per-file noise from this .npz "
+                         "(keys s{salt}_i{index}, NHWC) instead of fold_in "
+                         "draws — cross-framework certification hook used "
+                         "by tools/ref_crossval.py to replay the reference "
+                         "scripts' torch RNG stream")
     return ap
 
 
@@ -127,6 +133,7 @@ def main(argv=None) -> None:
         int8_ckpt=args.int8_ckpt,
         cache_dir=args.cache_dir,
         mesh_data=args.mesh_data,
+        noise_npz=args.noise_npz,
         file_list=args.file_list,
         viz_mode=args.viz_mode,
         viz_q_low=args.viz_q_low,

@@ -69,6 +69,12 @@ from s1s2.sampling import (
 )
 from s1s2.viz import render as V
 
+# Salt offsets partitioning the per-file RNG space (fold_in of file index on
+# PRNGKey(seed_base + salt)): init noise uses salt 0 / 5000+seed; η-noise
+# streams live at ETA_SALT(+seed) so stochastic-DDIM draws never collide
+# with init draws and stay per-file deterministic across batch compositions.
+ETA_SALT = 7000
+
 
 # ---------------------------------------------------------------------------
 # context
@@ -137,6 +143,13 @@ class EvalConfig:
     # N-device 'data' mesh so the fused samplers run SPMD. batch_size must
     # divide by N. 0 = single device (reference behavior).
     mesh_data: int = 0
+    # cross-framework certification hook (tools/ref_crossval.py): an .npz of
+    # explicit noise arrays keyed "s{salt}_i{file_index}" (NHWC float32)
+    # that REPLACES the per-file fold_in noise — so a torch process can
+    # replay the reference scripts' exact RNG stream into this harness and
+    # per-file CSVs become bit-comparable. Missing keys raise (certification
+    # must never silently fall back to JAX noise).
+    noise_npz: Optional[str] = None
 
 
 class EvalContext:
@@ -239,7 +252,7 @@ class EvalContext:
                            float(np.sqrt(1.0 - ab[tval])))
             calib.append((jnp.concatenate([x_t, cond], -1),
                           jnp.full((n,), tval, jnp.int32)))
-            if self.cfg.guidance_scale is not None:
+            if self.cfg.guidance_scale is not None or self.cfg.mode == "cfg_sweep":
                 # CFG runs a null-cond pass too — calibrate its ranges
                 calib.append((jnp.concatenate(
                     [x_t, jnp.zeros_like(cond)], -1),
@@ -293,6 +306,17 @@ class EvalContext:
         return jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
 
     def per_file_noise(self, indices: Sequence[int], salt: int = 0) -> jnp.ndarray:
+        if self.cfg.noise_npz is not None:
+            if not hasattr(self, "_injected_noise"):
+                self._injected_noise = dict(np.load(self.cfg.noise_npz))
+            try:
+                return jnp.asarray(np.stack(
+                    [self._injected_noise[f"s{salt}_i{int(i)}"]
+                     for i in indices]).astype(np.float32))
+            except KeyError as e:  # pragma: no cover - config error
+                raise KeyError(
+                    f"noise_npz {self.cfg.noise_npz} missing key {e} "
+                    f"(salt={salt}); regenerate it for this mode") from e
         keys = self.per_file_keys(indices, salt)
         shape = (self.H, self.W, self.Ct)
         return jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
@@ -345,9 +369,11 @@ def run_ddim(ctx: EvalContext) -> Dict:
     saved = 0
     for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
         idxs = [ctx.file_idx[n] for n in names]  # positions for RNG
+        padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
         x0 = sample_batched(
             jnp.asarray(cond), jnp.asarray(gt),
-            ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid)),
+            ctx.per_file_noise(padded),
+            ctx.per_file_keys(padded, salt=ETA_SALT),
         )
         mae_b, mse_b = M.per_file_mae_mse(x0, jnp.asarray(gt), jnp.asarray(mask))
         mae_b, mse_b = np.asarray(mae_b), np.asarray(mse_b)
@@ -358,8 +384,12 @@ def run_ddim(ctx: EvalContext) -> Dict:
         for j in range(n_valid):
             maes.append(float(mae_b[j]))
             mses.append(float(mse_b[j]))
-            row = [names[j], cfg.t_start, cfg.ddim_steps,
-                   f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}"]
+            row = [names[j], cfg.t_start, cfg.ddim_steps]
+            if ctx.param is Parameterization.V:
+                # the v reference writes an eta column
+                # (`DDIM_Multi-step_v_Prediction.py:285`)
+                row.append(cfg.eta)
+            row += [f"{mae_b[j]:.6f}", f"{mse_b[j]:.6f}"]
             if cfg.full_metrics:
                 extra["psnr"].append(float(p_b[j]))
                 extra["sam"].append(float(s_b[j]))
@@ -375,6 +405,8 @@ def run_ddim(ctx: EvalContext) -> Dict:
                 saved += 1
 
     header = ["file", "t_start", "ddim_steps", "MAE", "MSE"]
+    if ctx.param is Parameterization.V:
+        header.insert(3, "eta")
     if cfg.full_metrics:
         header += ["PSNR", "SAM(rad)", "ERGAS"]
     _write_csv(os.path.join(cfg.out_dir, "ddim_metrics.csv"), header, rows)
@@ -400,7 +432,11 @@ def run_ddim(ctx: EvalContext) -> Dict:
 
 def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
                         steps: Optional[int] = None):
-    """One jitted (cond, gt, noise) → x0̂ for the current param/config."""
+    """One jitted (cond, gt, noise, eta_keys) → x0̂ for the current
+    param/config. ``eta_keys`` is a (B, 2) batch of per-file keys used only
+    by the stochastic-η v path (per-file η streams independent of batch
+    composition, `Evaluation/DDIM_Multi-step_v_Prediction.py:172-178`);
+    the deterministic ε/dpm2m branches ignore it."""
     cfg = ctx.cfg
     t_start = cfg.t_start if t_start is None else t_start
     steps = cfg.ddim_steps if steps is None else steps
@@ -413,7 +449,7 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
         K = int(grid[-1])
 
         @jax.jit
-        def sample(cond, gt, noise):
+        def sample(cond, gt, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
             if ctx.param is Parameterization.EPS:
                 B = gt.shape[0]
@@ -430,7 +466,7 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
     if ctx.param is Parameterization.EPS:
 
         @jax.jit
-        def sample(cond, gt, noise):
+        def sample(cond, gt, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
             return ddim_anchored(
                 fn, gt, jax.random.PRNGKey(0), ctx.schedule, t_start, steps, noise=noise
@@ -442,11 +478,11 @@ def _make_recon_sampler(ctx: EvalContext, t_start: Optional[int] = None,
         scale = float(np.sqrt(1.0 - ab))
 
         @jax.jit
-        def sample(cond, gt, noise):
+        def sample(cond, gt, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
             x_init = noise * scale  # `..._v_Prediction.py:154` mean-free init
             return ddim_grid_sample(
-                fn, x_init, jax.random.PRNGKey(0), ctx.schedule, grid,
+                fn, x_init, eta_keys, ctx.schedule, grid,
                 Parameterization.V, eta=cfg.eta,
             )
 
@@ -466,8 +502,10 @@ def run_ddim_sweep(ctx: EvalContext) -> Dict:
             maes, mses = [], []
             for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
                 idxs = [ctx.file_idx[n] for n in names]
-                noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
-                x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise)
+                padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
+                noise = ctx.per_file_noise(padded)
+                x0 = sampler(jnp.asarray(cond), jnp.asarray(gt), noise,
+                             ctx.per_file_keys(padded, salt=ETA_SALT))
                 mae_b, mse_b = M.per_file_mae_mse(x0, jnp.asarray(gt), jnp.asarray(mask))
                 maes += list(np.asarray(mae_b)[:n_valid])
                 mses += list(np.asarray(mse_b)[:n_valid])
@@ -527,7 +565,8 @@ def run_pred_diagnostics(ctx: EvalContext) -> Dict:
 
     if is_v:
         _write_csv(os.path.join(cfg.out_dir, "vdiag.csv"),
-                   ["file", "t_small", "v_MSE", "v_cos", "eps_cos"], rows)
+                   ["file", "t_small", "v_MSE", "v_cosine", "eps_cosine"],
+                   rows)  # `DDIM_Multi-step_v_Prediction.py:310` names
         _summary(os.path.join(cfg.out_dir, "vdiag_summary.txt"), [
             f"files: {len(col1)}  t_small: {t_small}",
             f"v_MSE mean/std: {_mstd(col1)[0]:.6f} / {_mstd(col1)[1]:.6f}",
@@ -768,7 +807,7 @@ def run_true_infer(ctx: EvalContext) -> Dict:
             init_scale = float(np.sqrt(1.0 - ctx.schedule.alpha_bar_np()[K]))
 
         @jax.jit
-        def generate(cond, noise):
+        def generate(cond, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
             return dpm_solver_2m(fn, noise * init_scale, ctx.schedule, grid,
                                  ctx.param)
@@ -776,7 +815,7 @@ def run_true_infer(ctx: EvalContext) -> Dict:
     elif ctx.param is Parameterization.EPS:
 
         @jax.jit
-        def generate(cond, noise):
+        def generate(cond, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
             return _ddim_from_init(fn, noise, ctx.schedule, cfg.t_start, cfg.ddim_steps)
 
@@ -786,10 +825,12 @@ def run_true_infer(ctx: EvalContext) -> Dict:
         scale = float(np.sqrt(1.0 - ab))
 
         @jax.jit
-        def generate(cond, noise):
+        def generate(cond, noise, eta_keys):
             fn = ctx.denoise_fn(cond)
+            # per-file per-seed η streams (fresh draws per seed, like the
+            # reference's per-iteration torch.manual_seed semantics)
             return ddim_grid_sample(
-                fn, noise * scale, jax.random.PRNGKey(0), ctx.schedule, grid,
+                fn, noise * scale, eta_keys, ctx.schedule, grid,
                 Parameterization.V, eta=cfg.eta,
             )
 
@@ -797,10 +838,10 @@ def run_true_infer(ctx: EvalContext) -> Dict:
     for s in range(max(1, cfg.n_seeds)):
         for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
-            noise = ctx.per_file_noise(
-                idxs + [idxs[-1]] * (cfg.batch_size - n_valid), salt=5000 + s
-            )
-            x0 = generate(jnp.asarray(cond), noise)
+            padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
+            noise = ctx.per_file_noise(padded, salt=5000 + s)
+            x0 = generate(jnp.asarray(cond), noise,
+                          ctx.per_file_keys(padded, salt=ETA_SALT + s))
             gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
             mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
             p_b = psnr_v(x0, gt_j, mask_j)
@@ -1071,8 +1112,10 @@ def run_cloudy_viz(ctx: EvalContext) -> Dict:
         ds_items = [load_patch(ctx.ds.path(i)) for _, _, i in chunk]
         cond = jnp.asarray(np.stack([d["cond"] for d in ds_items]))
         gt = jnp.asarray(np.stack([d["target"] for d in ds_items]))
-        noise = ctx.per_file_noise([i for _, _, i in chunk])
-        x0 = np.asarray(sampler(cond, gt, noise))
+        chunk_idxs = [i for _, _, i in chunk]
+        noise = ctx.per_file_noise(chunk_idxs)
+        x0 = np.asarray(sampler(cond, gt, noise,
+                                ctx.per_file_keys(chunk_idxs, salt=ETA_SALT)))
         for j, (_, fname, _) in enumerate(chunk):
             V.save_panel(x0[j], ds_items[j]["target"], ds_items[j]["cond"],
                          os.path.join(ctx.viz_dir, f"{n:03d}_cloudy_panel.png"),
@@ -1132,14 +1175,22 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
     scales = list(cfg.guidance_scales) if cfg.guidance_scales else [1.0, 1.5, 2.0, 3.0, 5.0]
     rows = []
     results = {}
+
+    def cfg_fn(cond, g):
+        """cond/uncond-stacked guided denoiser; int8 path when --int8."""
+        if cfg.int8:
+            from s1s2.models.quant import make_quant_cfg_denoise_fn
+
+            return make_quant_cfg_denoise_fn(ctx.qparams, cond, g)
+        return make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
+
     for g in scales:
         if ctx.param is Parameterization.EPS:
 
             @jax.jit
-            def generate(cond, noise, g=float(g)):
-                fn = make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
-                return _ddim_from_init(fn, noise, ctx.schedule, cfg.t_start,
-                                       cfg.ddim_steps)
+            def generate(cond, noise, eta_keys, g=float(g)):
+                return _ddim_from_init(cfg_fn(cond, g), noise, ctx.schedule,
+                                       cfg.t_start, cfg.ddim_steps)
 
         else:
             grid = round_unique_grid(cfg.t_start, cfg.ddim_steps, cfg.T)
@@ -1148,9 +1199,8 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
             ))
 
             @jax.jit
-            def generate(cond, noise, g=float(g)):
-                fn = make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
-                return ddim_grid_sample(fn, noise * scale, jax.random.PRNGKey(0),
+            def generate(cond, noise, eta_keys, g=float(g)):
+                return ddim_grid_sample(cfg_fn(cond, g), noise * scale, eta_keys,
                                         ctx.schedule, grid, Parameterization.V,
                                         eta=cfg.eta)
 
@@ -1158,8 +1208,10 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
         psnr_v = _vmapped(M.psnr)
         for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
-            noise = ctx.per_file_noise(idxs + [idxs[-1]] * (cfg.batch_size - n_valid))
-            x0 = generate(jnp.asarray(cond), noise)
+            padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
+            noise = ctx.per_file_noise(padded)
+            x0 = generate(jnp.asarray(cond), noise,
+                          ctx.per_file_keys(padded, salt=ETA_SALT))
             gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
             mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
             p_b = psnr_v(x0, gt_j, mask_j)

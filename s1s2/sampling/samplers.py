@@ -203,6 +203,13 @@ def ddim_grid_sample(
     ``x_init`` is caller-built (√(1−ᾱ_K)-scaled or unit noise), ``grid`` from
     s1s2.sampling.grids. η>0 adds the stochastic DDIM term with
     σ = η·√((1−ᾱ_prev)/(1−ᾱ_cur+1e-8)·max(0, 1−ᾱ_cur/ᾱ_prev)).
+
+    ``key`` may be a single PRNG key (one stream for the whole batch — a
+    file's η draws then depend on its batch slot) or a **batch of per-file
+    keys** with shape (B, 2): each file gets its own independent per-step
+    η stream, so results are invariant to batch composition — matching the
+    reference's per-file `torch.manual_seed` semantics
+    (`Evaluation/DDIM_Multi-step_v_Prediction.py:172-174`).
     """
     grid = np.asarray(grid, np.int64)
     n = len(grid)
@@ -219,6 +226,13 @@ def ddim_grid_sample(
     )
     dir_term = np.sqrt(np.clip((1.0 - a_prev) - sigma**2, 0.0, None))
 
+    per_file_keys = getattr(key, "ndim", 1) == 2  # (B, 2) batch of keys
+    if per_file_keys:
+        # (B, n, 2) → (n, B, 2): step-major for the scan, one stream per file
+        step_keys = jnp.swapaxes(
+            jax.vmap(lambda kk: jax.random.split(kk, n))(key), 0, 1)
+    else:
+        step_keys = jax.random.split(key, n)
     xs = (
         jnp.asarray(t_cur, jnp.int32),
         jnp.asarray(np.sqrt(a_cur), jnp.float32),
@@ -227,7 +241,7 @@ def ddim_grid_sample(
         jnp.asarray(dir_term, jnp.float32),
         jnp.asarray(sigma, jnp.float32),
         jnp.asarray(is_last, jnp.float32),
-        jax.random.split(key, n),
+        step_keys,
     )
     B = x_init.shape[0]
     param = Parameterization(param)
@@ -238,7 +252,12 @@ def ddim_grid_sample(
         x0_pred, eps_pred = pred_to_x0_eps(
             param, x_t, pred, sab[None], s1mab[None]
         )
-        z = jax.random.normal(k, x_t.shape, jnp.float32)
+        if per_file_keys:
+            z = jax.vmap(
+                lambda kk: jax.random.normal(kk, x_t.shape[1:], jnp.float32)
+            )(k)
+        else:
+            z = jax.random.normal(k, x_t.shape, jnp.float32)
         x_next = sab_p * x0_pred + dirt * eps_pred + sig * z
         x_t = last * x0_pred + (1.0 - last) * x_next
         return x_t, None

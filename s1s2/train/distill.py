@@ -159,10 +159,12 @@ def debiased_ema(state: TrainState, init_params: Any, decay: float) -> Any:
         ema_n = decay**n * init + (1 - decay**n) * <trajectory average>
     Long runs (decay**n ≈ 0) are returned bit-unchanged; ultra-short runs
     (decay**n ≥ 0.9) fall back to the raw trained params, where an EMA is
-    meaningless anyway.
+    meaningless anyway. n counts APPLIED updates (step minus NaN-skipped
+    steps — skipped steps leave the EMA unchanged, so they must not decay
+    the init component).
     """
-    n = int(state.step)
-    w = float(decay) ** n
+    n = int(state.step) - int(state.skipped)
+    w = float(decay) ** max(n, 0)
     if w >= 0.9:
         return state.params
     if w <= 0.05:

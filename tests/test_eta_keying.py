@@ -1,0 +1,155 @@
+"""Per-file η-noise keying (round-2 verdict weak #1).
+
+With ``--eta > 0`` every file must receive its own per-step stochastic
+stream derived from its file index (fold_in), so η draws are (a) fresh per
+seed and (b) independent of batch composition — the reference's per-file
+``torch.manual_seed`` semantics
+(`Evaluation/DDIM_Multi-step_v_Prediction.py:172-178`,
+η=0.05 default in `Limitation_Test_v_Prediction.py`).
+"""
+
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s1s2.core import Parameterization, Schedule
+from s1s2.data.synthetic import make_synthetic_patches
+from s1s2.sampling import ddim_grid_sample, round_unique_grid
+from s1s2.sampling.samplers import scaled_noise_init
+
+T = 100
+SCHED = Schedule.cosine(T)
+SHAPE = (4, 8, 8, 4)
+
+
+def fake_denoise(x_t, t):
+    tt = t.astype(jnp.float32).reshape(-1, 1, 1, 1) / T
+    return jnp.tanh(x_t) * 0.7 - 0.2 * tt + 0.05
+
+
+def _per_file_keys(indices, salt=0):
+    base = jax.random.PRNGKey(salt)
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.asarray(indices, jnp.uint32))
+
+
+class TestGridSamplerPerFileKeys:
+    def test_batch_composition_invariance(self):
+        """Permuting the batch (files + their keys) permutes the output
+        exactly: a file's η stream does not depend on its batch slot."""
+        grid = round_unique_grid(80, 10, T)
+        x_init = scaled_noise_init(jax.random.PRNGKey(0), SHAPE, SCHED, 80)
+        keys = _per_file_keys([10, 11, 12, 13])
+        out = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, keys, SCHED, grid, Parameterization.V,
+            eta=0.5))
+        perm = np.array([2, 0, 3, 1])
+        out_p = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init[perm], keys[perm], SCHED, grid,
+            Parameterization.V, eta=0.5))
+        np.testing.assert_array_equal(out[perm], out_p)
+
+    def test_distinct_files_get_distinct_eta_draws(self):
+        """Same x_init replicated across the batch, different per-file keys
+        → different outputs (old code replayed one stream for all)."""
+        grid = round_unique_grid(80, 10, T)
+        one = scaled_noise_init(jax.random.PRNGKey(0), (1,) + SHAPE[1:], SCHED, 80)
+        x_init = jnp.tile(one, (4, 1, 1, 1))
+        out = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, _per_file_keys([0, 1, 2, 3]), SCHED, grid,
+            Parameterization.V, eta=0.5))
+        for j in range(1, 4):
+            assert np.abs(out[0] - out[j]).max() > 1e-6
+
+    def test_eta_zero_ignores_keys(self):
+        """Deterministic mode: per-file keys vs a single key are identical."""
+        grid = round_unique_grid(80, 10, T)
+        x_init = scaled_noise_init(jax.random.PRNGKey(0), SHAPE, SCHED, 80)
+        a = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, _per_file_keys([5, 6, 7, 8]), SCHED, grid,
+            Parameterization.V, eta=0.0))
+        b = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, jax.random.PRNGKey(99), SCHED, grid,
+            Parameterization.V, eta=0.0))
+        np.testing.assert_array_equal(a, b)
+
+    def test_seed_salt_changes_draws(self):
+        """Different salts (per-seed streams in true_infer) → fresh η."""
+        grid = round_unique_grid(80, 10, T)
+        x_init = scaled_noise_init(jax.random.PRNGKey(0), SHAPE, SCHED, 80)
+        run = lambda salt: np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, _per_file_keys([0, 1, 2, 3], salt), SCHED,
+            grid, Parameterization.V, eta=0.5))
+        assert np.abs(run(0) - run(1)).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# harness level: per-file results invariant to batch size at η > 0
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def patch_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eta_patches")
+    make_synthetic_patches(str(d), n=4, size=16, seed=3)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory, patch_dir):
+    out = tmp_path_factory.mktemp("eta_run")
+    model_path = str(out / "m.msgpack")
+    from s1s2.cli.train import main as train_main
+
+    train_main([
+        "--patch_dir", patch_dir, "--model_path", model_path,
+        "--T", "20", "--epochs", "1", "--batch_size", "2", "--base_ch", "4",
+        "--compute_dtype", "float32",
+    ])
+    return model_path
+
+
+def _ddim_eval(patch_dir, ckpt, out_dir, batch_size, eta="0.3"):
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "ddim", "--patch_dir", patch_dir, "--ckpt", ckpt,
+        "--out_dir", str(out_dir), "--T", "20", "--base_ch", "4",
+        "--pred_param", "v", "--batch_size", str(batch_size),
+        "--compute_dtype", "float32", "--t_start", "15", "--ddim_steps", "4",
+        "--eta", eta,
+    ])
+    with open(str(out_dir) + "/ddim_metrics.csv") as f:
+        return {r["file"]: float(r["MAE"]) for r in csv.DictReader(f)}
+
+
+def test_ddim_eta_invariant_to_batch_size(patch_dir, ckpt, tmp_path):
+    """4 files at batch 2 vs batch 4: identical per-file MAE (the old
+    constant-PRNGKey(0) path tied a file's η draws to its batch slot)."""
+    m2 = _ddim_eval(patch_dir, ckpt, tmp_path / "b2", 2)
+    m4 = _ddim_eval(patch_dir, ckpt, tmp_path / "b4", 4)
+    assert set(m2) == set(m4) and len(m2) == 4
+    for f in m2:
+        assert abs(m2[f] - m4[f]) < 5e-6, f
+
+
+def test_true_infer_eta_varies_per_seed(patch_dir, ckpt, tmp_path):
+    """η adds per-seed variation on top of the per-seed init noise; the
+    summary std must be nonzero and the per-file η streams fresh per seed
+    (salt ETA_SALT + s)."""
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", "true_infer", "--patch_dir", patch_dir, "--ckpt", ckpt,
+        "--out_dir", str(tmp_path), "--T", "20", "--base_ch", "4",
+        "--pred_param", "v", "--batch_size", "2",
+        "--compute_dtype", "float32", "--t_start", "19", "--ddim_steps", "4",
+        "--eta", "0.3", "--n_seeds", "2",
+    ])
+    with open(tmp_path / "ddim_true_infer_metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert all(float(r["MAE_std"]) > 0 for r in rows)

@@ -71,7 +71,9 @@ def test_ddim_mode_csv_schema(trained, patch_dir, tmp_path):
     _eval("ddim", patch_dir, trained, tmp_path,
           "--t_start", "15", "--ddim_steps", "4")
     rows = (tmp_path / "ddim_metrics.csv").read_text().strip().splitlines()
-    assert rows[0] == "file,t_start,ddim_steps,MAE,MSE"
+    # v-param runs carry the reference's eta column
+    # (`DDIM_Multi-step_v_Prediction.py:285`)
+    assert rows[0] == "file,t_start,ddim_steps,eta,MAE,MSE"
     assert len(rows) == 7  # 6 files + header
     summary = (tmp_path / "ddim_summary.txt").read_text()
     assert "MAE mean/std" in summary and "eta:" in summary
@@ -88,7 +90,7 @@ def test_ddim_sweep(trained, patch_dir, tmp_path):
 def test_vdiag(trained, patch_dir, tmp_path):
     _eval("vdiag", patch_dir, trained, tmp_path, "--t_small", "2")
     rows = (tmp_path / "vdiag.csv").read_text().strip().splitlines()
-    assert rows[0] == "file,t_small,v_MSE,v_cos,eps_cos"
+    assert rows[0] == "file,t_small,v_MSE,v_cosine,eps_cosine"
     assert len(rows) == 7
 
 

@@ -1,0 +1,44 @@
+"""Reference cross-validation (round-3): the unmodified reference scripts
+and s1s2 must produce matching CSV tables on the same checkpoint + data.
+
+Runs tools/ref_crossval.py end-to-end at the tiniest viable config: trains
+a real .pth by executing `/root/reference/Train_Orignal.py`, runs
+`/root/reference/Evaluation/DDIM_Multi-step.py` (all 5 modes) and the s1s2
+harness on the same converted checkpoint with the torch RNG stream
+replayed via --noise_npz, and machine-diffs every CSV column.
+"""
+
+import json
+import os
+
+import pytest
+
+REF = os.environ.get("S1S2_REFERENCE_DIR", "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+def test_crossval_eps_family(tmp_path):
+    from tools.ref_crossval import main
+
+    rc = main(["--workdir", str(tmp_path), "--n", "4", "--size", "32",
+               "--base_ch", "8", "--epochs", "1", "--n_seeds", "2",
+               "--ddim_steps", "5", "--families", "eps"])
+    assert rc == 0
+    report = json.load(open(tmp_path / "report.json"))
+    assert report["pass"] and report["tables_total"] == 7
+    # the core tables agree to the CSV rounding quantum (1e-6), far below
+    # the certification tolerance
+    ddim = report["tables"]["eps/ddim/ddim_metrics.csv"]
+    assert ddim["cols"]["MAE"]["max_dev"] <= 2e-6
+
+
+def test_committed_crossval_report_passes():
+    """The committed evidence pack (examples/ref_crossval) must carry a
+    passing report with both families."""
+    path = os.path.join(REPO, "examples", "ref_crossval", "report.json")
+    if not os.path.exists(path):
+        pytest.skip("committed crossval artifacts not present")
+    report = json.load(open(path))
+    assert report["pass"]
+    assert report["tables_total"] >= 9  # 7 eps + 2 v

@@ -1,11 +1,13 @@
 """Throughput probe for the distilled 1-step operating point (bench.py line 4).
 
 Measures GT-anchored DDIM-1 from t_start=200 through the int8 quantized
-path (the config whose quality evidence is
-examples/results_synthetic/distill_evidence.jsonl: endpoint-distilled
-1-step student MAE 0.411/int8 0.409 vs teacher ddim-20 0.441), over a
-batch sweep. Architecture is identical teacher/student (UNetSmall base 96),
-so throughput is weight-independent; random init is fine here.
+path, over a batch sweep. The quality evidence for this operating point
+lives in examples/results_synthetic/distill_evidence.jsonl (current
+committed numbers; see BENCH_NOTES.md "Step distillation"). Architecture
+is identical teacher/student (UNetSmall base 96), so throughput is
+weight-independent; bench.py additionally loads the committed student
+checkpoint for its headline line so measurement and quality share one
+artifact.
 
 Usage: python tools/bench_distill_throughput.py [--batches 64 128 256]
 """

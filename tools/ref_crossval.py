@@ -1,0 +1,356 @@
+"""Cross-validation against the reference's OWN executable scripts.
+
+Upgrades the torch-twin parity claims to "the reference code itself
+agrees": this driver
+
+  1. generates a deterministic synthetic patch set (the npz contract both
+     sides read),
+  2. trains real ``.pth`` checkpoints by RUNNING the unmodified reference
+     trainers (`/root/reference/Train_Orignal.py:218-336`,
+     `Train_v_Prediction.py:277-444`) on CPU torch,
+  3. runs the unmodified reference eval scripts
+     (`Evaluation/DDIM_Multi-step.py:173-393`,
+     `Evaluation/DDIM_Multi-step_v_Prediction.py` ddim/vdiag) on them —
+     wrapped only by a global ``torch.manual_seed`` so their
+     stream-consuming noise draws are reproducible,
+  4. replays the exact same torch RNG streams into the s1s2 harness via
+     ``evaluate --noise_npz`` (keys ``s{salt}_i{index}``), running every
+     matching mode on the CONVERTED checkpoint (.pth loaded through
+     models/convert.py) with f32 compute and highest matmul precision,
+  5. machine-diffs the per-file CSV tables column by column and writes
+     ``report.json`` with max deviations + pass/fail per table.
+
+Noise-stream replication map (torch global stream seeded GLOBAL_SEED):
+  ddim / eps / per_band / vdiag — one randn(1,Ct,H,W) per file in sorted
+  order (sequential stream; `DDIM_Multi-step.py:121,145,162`);
+  seed_stats — torch.manual_seed(seed_base+s) before each draw, so the
+  SAME noise for every file at seed s (`DDIM_Multi-step.py:156-157,273`);
+  ablate — torch.manual_seed(seed_base) per file → one shared base noise
+  (`DDIM_Multi-step.py:360-361`).
+
+Usage:
+    python tools/ref_crossval.py --workdir /tmp/crossval \
+        [--n 12 --size 32 --base_ch 16 --epochs 8] \
+        [--families eps v] [--keep_artifacts DIR]
+"""
+
+import argparse
+import csv
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_DIR = os.environ.get("S1S2_REFERENCE_DIR", "/root/reference")
+GLOBAL_SEED = 777
+
+# per-column absolute tolerances: both sides compute in f32, but torch and
+# XLA convolutions differ in reduction order; deviations accumulate over the
+# 20-step sampler. Calibrated from observed runs (report the measured max).
+TOLS = {"PSNR": 5e-2, "cosine": 5e-4, "eps_MSE": 5e-4, "v_MSE": 5e-4,
+        "v_cos": 5e-4, "eps_cos": 5e-4}
+DEFAULT_TOL = 5e-4
+
+
+def log(msg):
+    print(f"[crossval] {msg}", flush=True)
+
+
+def run_ref_script(script, argv, seed=GLOBAL_SEED, log_path=None):
+    """Run an UNMODIFIED reference script in a subprocess with a controlled
+    torch global RNG: seeded up front, and RE-seeded right after the
+    script's ``torch.load`` of the checkpoint. The re-seed pins the stream
+    at the point where the eval loop starts — the scripts construct
+    UNetSmall (whose torch-side weight init consumes an
+    architecture-dependent number of draws) before loading the checkpoint,
+    so seeding only at import time would leave the per-file randn draws at
+    an unpredictable stream offset."""
+    code = (
+        "import torch, runpy, sys\n"
+        f"torch.manual_seed({seed})\n"
+        "_orig_load = torch.load\n"
+        "def _load_and_reseed(*a, **k):\n"
+        "    out = _orig_load(*a, **k)\n"
+        f"    torch.manual_seed({seed})\n"
+        "    return out\n"
+        "torch.load = _load_and_reseed\n"
+        f"sys.argv = {[script] + [str(a) for a in argv]!r}\n"
+        f"runpy.run_path({script!r}, run_name='__main__')\n"
+    )
+    with open(log_path or os.devnull, "w") as lf:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       stdout=lf, stderr=lf, cwd=os.path.dirname(script))
+
+
+def build_noise_npz(path, n_files, H, W, Ct, n_seeds, seed_base):
+    import torch
+
+    out = {}
+    torch.manual_seed(GLOBAL_SEED)
+    for i in range(n_files):
+        z = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
+        out[f"s0_i{i}"] = z       # ddim / eps / vdiag (sequential stream)
+        # per_band is a fresh re-seeded reference process consuming the
+        # stream in the same order → identical arrays under salt 7
+        out[f"s7_i{i}"] = z
+    for s in range(n_seeds):
+        torch.manual_seed(seed_base + s)
+        z = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
+        for i in range(n_files):
+            out[f"s{1000 + s}_i{i}"] = z
+    torch.manual_seed(seed_base)
+    out["s99_i0"] = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
+    import numpy as np
+
+    np.savez(path, **out)
+    return path
+
+
+def diff_csv(ref_csv, got_csv, report, table_name):
+    """Column-wise |Δ| max over matching rows; pass/fail vs tolerance."""
+    def read(p):
+        with open(p) as f:
+            return list(csv.DictReader(f))
+
+    ref_rows, got_rows = read(ref_csv), read(got_csv)
+    entry = {"ref": ref_csv, "s1s2": got_csv, "rows": len(ref_rows),
+             "cols": {}, "pass": True}
+    if len(ref_rows) != len(got_rows):
+        entry["pass"] = False
+        entry["error"] = f"row count {len(ref_rows)} vs {len(got_rows)}"
+        report[table_name] = entry
+        return entry
+    keycol = list(ref_rows[0].keys())[0]
+    got_by_key = {}
+    for r in got_rows:
+        got_by_key.setdefault(r[keycol], []).append(r)
+    for r in ref_rows:
+        if r[keycol] not in got_by_key or not got_by_key[r[keycol]]:
+            entry["pass"] = False
+            entry["error"] = f"missing row key {r[keycol]!r}"
+            report[table_name] = entry
+            return entry
+        g = got_by_key[r[keycol]].pop(0)
+        for col, val in r.items():
+            try:
+                rv = float(val)
+            except (TypeError, ValueError):
+                continue  # non-numeric column (file name, mode strings)
+            gv = float(g[col])
+            if math.isnan(rv) and math.isnan(gv):
+                continue
+            dev = abs(rv - gv)
+            c = entry["cols"].setdefault(col, {"max_dev": 0.0})
+            c["max_dev"] = max(c["max_dev"], dev)
+    for col, c in entry["cols"].items():
+        base = col.split("_")[-1] if col.split("_")[-1] in TOLS else col
+        tol = TOLS.get(col, TOLS.get(base, DEFAULT_TOL))
+        # band{b}_PSNR etc.
+        if "PSNR" in col:
+            tol = TOLS["PSNR"]
+        c["tol"] = tol
+        c["pass"] = c["max_dev"] <= tol
+        entry["pass"] = entry["pass"] and c["pass"]
+    report[table_name] = entry
+    return entry
+
+
+def run_s1s2_eval(mode, patch_dir, ckpt, out_dir, base_ch, noise_npz,
+                  param="eps", n_seeds=4, extra=()):
+    from s1s2.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--mode", mode, "--patch_dir", patch_dir, "--ckpt", ckpt,
+        "--out_dir", out_dir, "--base_ch", str(base_ch),
+        "--compute_dtype", "float32", "--pred_param", param,
+        "--noise_npz", noise_npz, "--n_seeds", str(n_seeds),
+        "--save_viz_n", "0", "--batch_size", "4", *extra,
+    ])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--base_ch", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--n_seeds", type=int, default=4)
+    ap.add_argument("--seed_base", type=int, default=1234)
+    ap.add_argument("--t_start", type=int, default=200)
+    ap.add_argument("--ddim_steps", type=int, default=20)
+    ap.add_argument("--families", nargs="*", default=["eps", "v"],
+                    choices=["eps", "v"])
+    ap.add_argument("--keep_artifacts", default=None,
+                    help="copy .pth + CSVs + report into this dir (commit)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip steps whose outputs already exist in workdir")
+    args = ap.parse_args(argv)
+
+    # s1s2 side runs on CPU at f32/highest — certification is numerical
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:  # backend already initialized (e.g. under pytest)
+        pass
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import numpy as np  # noqa: F401
+
+    from s1s2.data.synthetic import make_synthetic_patches
+
+    wd = os.path.abspath(args.workdir)
+    patches = os.path.join(wd, "patches")
+    os.makedirs(wd, exist_ok=True)
+    if not (args.reuse and os.path.isdir(patches) and os.listdir(patches)):
+        make_synthetic_patches(patches, n=args.n, size=args.size, seed=0)
+    log(f"patches: {args.n} × {args.size}² at {patches}")
+
+    n_files = args.n
+    H = W = args.size
+    Ct = 4
+    noise_npz = build_noise_npz(os.path.join(wd, "ref_noise.npz"),
+                                n_files, H, W, Ct, args.n_seeds,
+                                args.seed_base)
+
+    report = {"config": {k: getattr(args, k) for k in
+                         ("n", "size", "base_ch", "epochs", "n_seeds",
+                          "t_start", "ddim_steps")},
+              "global_seed": GLOBAL_SEED, "tables": {}}
+    tables = report["tables"]
+
+    # ---------------- ε family ----------------
+    if "eps" in args.families:
+        ckpt = os.path.join(wd, "ref_eps", "model.pth")
+        if not (args.reuse and os.path.exists(ckpt)):
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            log(f"training reference ε model ({args.epochs} epochs, torch CPU)…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Train_Orignal.py"),
+                ["--patch_dir", patches, "--model_path", ckpt,
+                 "--epochs", args.epochs, "--base_ch", args.base_ch,
+                 "--batch_size", "4"],
+                log_path=os.path.join(wd, "train_eps.log"))
+        eps_tables = {
+            "ddim": ["ddim_metrics.csv"],
+            "eps": ["eps_diag.csv"],
+            "seed_stats": ["seed_stats.csv"],
+            "per_band": ["per_band_all.csv", "per_band_summary.csv"],
+            "ablate": ["ablate_all.csv", "ablate_summary.csv"],
+        }
+        script = os.path.join(REF_DIR, "Evaluation", "DDIM_Multi-step.py")
+        for mode in ("ddim", "eps", "seed_stats", "per_band", "ablate"):
+            ref_out = os.path.join(wd, "ref_eval_eps", mode)
+            if not (args.reuse and
+                    os.path.exists(os.path.join(ref_out, eps_tables[mode][0]))):
+                os.makedirs(ref_out, exist_ok=True)
+                log(f"reference eval (ε) mode={mode}…")
+                run_ref_script(script, [
+                    "--mode", mode, "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_start", args.t_start,
+                    "--ddim_steps", args.ddim_steps,
+                    "--n_seeds", args.n_seeds, "--seed_base", args.seed_base,
+                    "--save_viz_n", "0",
+                ], log_path=os.path.join(ref_out, "run.log"))
+            got_out = os.path.join(wd, "s1s2_eval_eps", mode)
+            log(f"s1s2 eval (ε, converted .pth) mode={mode}…")
+            run_s1s2_eval(mode, patches, ckpt, got_out, args.base_ch,
+                          noise_npz, param="eps", n_seeds=args.n_seeds,
+                          extra=("--t_start", str(args.t_start),
+                                 "--ddim_steps", str(args.ddim_steps),
+                                 "--seed_base", str(args.seed_base)))
+            for table in eps_tables[mode]:
+                e = diff_csv(os.path.join(ref_out, table),
+                             os.path.join(got_out, table),
+                             tables, f"eps/{mode}/{table}")
+                log(f"  {table}: "
+                    + ("PASS" if e["pass"] else "FAIL")
+                    + " " + json.dumps({c: round(v["max_dev"], 8)
+                                        for c, v in e.get("cols", {}).items()}))
+
+    # ---------------- v family ----------------
+    if "v" in args.families:
+        ckpt = os.path.join(wd, "ref_v", "model.pth")
+        if not (args.reuse and os.path.exists(ckpt)):
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            log(f"training reference v model ({args.epochs} epochs, torch CPU)…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Train_v_Prediction.py"),
+                ["--patch_dir", patches, "--model_path", ckpt,
+                 "--epochs", args.epochs, "--base_ch", args.base_ch,
+                 "--batch_size", "4"],
+                log_path=os.path.join(wd, "train_v.log"))
+        script = os.path.join(REF_DIR, "Evaluation",
+                              "DDIM_Multi-step_v_Prediction.py")
+        v_tables = {"ddim": ["ddim_metrics.csv"], "vdiag": ["vdiag.csv"]}
+        for mode in ("ddim", "vdiag"):
+            ref_out = os.path.join(wd, "ref_eval_v", mode)
+            if not (args.reuse and
+                    os.path.exists(os.path.join(ref_out, v_tables[mode][0]))):
+                os.makedirs(ref_out, exist_ok=True)
+                log(f"reference eval (v) mode={mode}…")
+                run_ref_script(script, [
+                    "--mode", mode, "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_start", args.t_start,
+                    "--ddim_steps", args.ddim_steps, "--ddim_eta", "0",
+                    "--n_seeds", args.n_seeds, "--seed_base", args.seed_base,
+                    "--save_viz_n", "0",
+                ], log_path=os.path.join(ref_out, "run.log"))
+            got_out = os.path.join(wd, "s1s2_eval_v", mode)
+            log(f"s1s2 eval (v, converted .pth) mode={mode}…")
+            run_s1s2_eval(mode, patches, ckpt, got_out, args.base_ch,
+                          noise_npz, param="v", n_seeds=args.n_seeds,
+                          extra=("--t_start", str(args.t_start),
+                                 "--ddim_steps", str(args.ddim_steps),
+                                 "--seed_base", str(args.seed_base),
+                                 "--eta", "0"))
+            for table in v_tables[mode]:
+                e = diff_csv(os.path.join(ref_out, table),
+                             os.path.join(got_out, table),
+                             tables, f"v/{mode}/{table}")
+                log(f"  {table}: "
+                    + ("PASS" if e["pass"] else "FAIL")
+                    + " " + json.dumps({c: round(v["max_dev"], 8)
+                                        for c, v in e.get("cols", {}).items()}))
+
+    report["pass"] = all(t["pass"] for t in tables.values())
+    report["tables_pass"] = sum(t["pass"] for t in tables.values())
+    report["tables_total"] = len(tables)
+    rp = os.path.join(wd, "report.json")
+    with open(rp, "w") as f:
+        json.dump(report, f, indent=1)
+    log(f"report: {rp}  → {report['tables_pass']}/{report['tables_total']} "
+        f"tables pass, overall {'PASS' if report['pass'] else 'FAIL'}")
+
+    if args.keep_artifacts:
+        ka = os.path.abspath(args.keep_artifacts)
+        os.makedirs(ka, exist_ok=True)
+        shutil.copy(rp, os.path.join(ka, "report.json"))
+        for fam in args.families:
+            src = os.path.join(wd, f"ref_{fam}", "model.pth")
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(ka, f"ref_{fam}_model.pth"))
+            for side in ("ref_eval", "s1s2_eval"):
+                sdir = os.path.join(wd, f"{side}_{fam}")
+                if not os.path.isdir(sdir):
+                    continue
+                for mode in os.listdir(sdir):
+                    for fn in os.listdir(os.path.join(sdir, mode)):
+                        if fn.endswith((".csv", ".txt")):
+                            dst = os.path.join(ka, f"{side}_{fam}", mode)
+                            os.makedirs(dst, exist_ok=True)
+                            shutil.copy(os.path.join(sdir, mode, fn), dst)
+        log(f"artifacts copied to {ka}")
+
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
