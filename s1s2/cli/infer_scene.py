@@ -44,6 +44,11 @@ def main(argv=None) -> None:
                          "move cond/pred over the wire in f16, and keep 3 "
                          "batches in flight (2.3x scene speedup measured; "
                          "BENCH_NOTES.md 'Scene inference')")
+    ap.add_argument("--stitch", choices=["host", "device"], default="host",
+                    help="'device' feather-accumulates on the chip "
+                         "(scene.make_device_stitcher): predictions never "
+                         "download per batch, only the final scene once — "
+                         "removes the single-core numpy stitch stage")
     ap.add_argument("--int8", action="store_true",
                     help="quantized int8 inference (models/quant.py); "
                          "calibrated on the scene's first tile batch")
@@ -168,7 +173,11 @@ def main(argv=None) -> None:
                                        jax.random.PRNGKey(args.seed), tag),
                                    schedule, grid, Parameterization.V,
                                    eta=args.eta)
-        return out.astype(jnp.float16) if args.fast_transfer else out
+        # f16 is a wire-format optimization only — skip it when predictions
+        # stay on device for the device-side stitch
+        if args.fast_transfer and args.stitch != "device":
+            return out.astype(jnp.float16)
+        return out
 
     predict = predict_batch
     if args.mesh_data:
@@ -183,7 +192,8 @@ def main(argv=None) -> None:
     out = infer_scene(
         predict, scene, args.out_ch, ps=args.patch_size,
         stride=args.stride, batch_size=args.batch_size, mask_scene=mask,
-        normalize=args.normalize, rng_seed=args.seed, **fast,
+        normalize=args.normalize, rng_seed=args.seed, stitch=args.stitch,
+        **fast,
     )
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -106,3 +106,46 @@ class TestFastTransfer:
                           batch_size=1, transfer_dtype=np.float16)
         assert seen["dtype"] == np.float16
         np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+class TestDeviceStitch:
+    def test_device_stitch_matches_host(self):
+        """stitch='device' (on-chip scatter-add, no per-batch download) must
+        reproduce the host feather-stitch to f32 rounding — including
+        edge-snapped overlapping tiles and a padded final batch."""
+        import jax
+
+        def pred(cond_b, noise_b):
+            return jax.numpy.asarray(cond_b)[..., :4] * 0.5 + 0.1
+
+        rng = np.random.default_rng(3)
+        scene = rng.standard_normal((80, 96, 4)).astype(np.float32)
+        host = infer_scene(pred, scene, out_ch=4, ps=32, stride=24,
+                           batch_size=3, stitch="host")
+        dev = infer_scene(pred, scene, out_ch=4, ps=32, stride=24,
+                          batch_size=3, stitch="device")
+        np.testing.assert_allclose(dev, host, rtol=0, atol=1e-5)
+
+    def test_device_stitch_with_pipeline_and_device_noise(self):
+        import jax
+        import jax.numpy as jnp
+
+        def pred(cond_b, seeds_b):
+            noise = jax.vmap(lambda s: jax.random.normal(
+                jax.random.PRNGKey(s), cond_b.shape[1:3] + (4,)))(
+                jnp.asarray(seeds_b))
+            return jnp.asarray(cond_b, jnp.float32) * 0.5 + 0.01 * noise
+
+        rng = np.random.default_rng(4)
+        scene = rng.standard_normal((64, 64, 4)).astype(np.float32)
+        host = infer_scene(pred, scene, out_ch=4, ps=32, stride=16,
+                           batch_size=3, noise="device", rng_seed=7)
+        dev = infer_scene(pred, scene, out_ch=4, ps=32, stride=16,
+                          batch_size=3, noise="device", rng_seed=7,
+                          pipeline=3, stitch="device")
+        np.testing.assert_allclose(dev, host, rtol=0, atol=1e-5)
+
+    def test_bad_stitch_value_raises(self):
+        with pytest.raises(ValueError):
+            infer_scene(lambda c, n: c, np.zeros((32, 32, 4), np.float32),
+                        out_ch=4, ps=32, stitch="gpu")

@@ -103,6 +103,9 @@ def main():
          {"noise": "device", "transfer_dtype": np.float16}),
         ("f16 both + pipeline-3", predict_f16_out,
          {"noise": "device", "transfer_dtype": np.float16, "pipeline": 3}),
+        ("device-stitch + pipeline-3", predict_device_noise,
+         {"noise": "device", "transfer_dtype": np.float16, "pipeline": 3,
+          "stitch": "device"}),
     ):
         best, out = timed(predict, **kw)
         print(json.dumps({
