@@ -46,17 +46,46 @@ def make_synthetic_patches(
     seed: int = 0,
     mask_holes: bool = True,
     with_cloud: bool = False,
+    rich: bool = False,
 ) -> list:
     """Write ``n`` synthetic patch npz files; target bands are deterministic
-    functions of the cond bands (so models CAN learn the mapping)."""
+    functions of the cond bands (so models CAN learn the mapping).
+
+    ``rich=True`` makes the cond→target map LEARNABLE ACROSS PATCHES: the
+    default draws a fresh random mixing matrix per patch (each patch has a
+    different cond→target relation, so the dataset-level mapping is
+    irreducibly ambiguous — pure generation can't benefit from model
+    quality), while rich uses one dataset-level mixing with per-channel
+    nonlinearities (tanh/sin/|·| compositions) plus a small
+    cond-independent detail field. Models trained on a rich set can drive
+    pure-generation MAE down with capacity/steps — the regime the
+    reference's published true-infer table lives in
+    (`Evaluation_Updated/Evaluation_Pure_Generation/ddim_true_infer_summary.txt`).
+    """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    fixed_mix = (rng.standard_normal((c_tgt, c_cond)).astype(np.float32) * 0.4
+                 if rich else None)
     files = []
     for i in range(n):
         base = [_smooth_field(rng, size, size) for _ in range(c_cond)]
         cond = np.stack(base).astype(np.float32)  # ~N(0,1)-ish like z-scored SAR
-        mix = rng.standard_normal((c_tgt, c_cond)).astype(np.float32) * 0.4
-        tgt = np.tensordot(mix, np.tanh(cond), axes=1)
+        if rich:
+            # dataset-level deterministic map: nonlinear per-channel
+            # features mixed by ONE matrix, + low-amplitude unpredictable
+            # detail (posterior-mean floor, like real optical texture)
+            feats = np.stack([
+                np.tanh(cond[0]) + 0.3 * np.sin(3.0 * cond[1 % c_cond]),
+                np.tanh(cond[1 % c_cond] * cond[2 % c_cond]),
+                np.abs(np.tanh(cond[2 % c_cond])) - 0.5,
+                np.tanh(0.5 * cond[3 % c_cond] + 0.25 * cond[0] ** 2),
+            ][:c_cond]).astype(np.float32)
+            tgt = np.tensordot(fixed_mix, feats, axes=1)
+            detail = _smooth_field(rng, size, size, octaves=5)
+            tgt = tgt + 0.05 * detail[None, :, :]
+        else:
+            mix = rng.standard_normal((c_tgt, c_cond)).astype(np.float32) * 0.4
+            tgt = np.tensordot(mix, np.tanh(cond), axes=1)
         tgt = np.clip(0.5 + 0.4 * tgt, 0.0, 1.0).astype(np.float32)
         mask = np.ones((size, size), np.uint8)
         if mask_holes and i % 2 == 0:

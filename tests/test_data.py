@@ -71,3 +71,57 @@ class TestLoader:
         (_, _, _), names, n_valid = chunks[-1]
         assert n_valid == 3 and len(names) == 3
         assert chunks[-1][0][0].shape[0] == 4  # padded to full batch
+
+
+class TestRichSynthetic:
+    """--rich synthetic mode: ONE dataset-level cond→target map (vs the
+    default's per-patch random mixing), so pure generation can actually
+    reward model quality (VERDICT r2 missing #3)."""
+
+    def test_rich_is_deterministic_and_valid(self, tmp_path):
+        a = make_synthetic_patches(str(tmp_path / "a"), n=4, size=16,
+                                   seed=3, rich=True)
+        b = make_synthetic_patches(str(tmp_path / "b"), n=4, size=16,
+                                   seed=3, rich=True)
+        assert len(a) == len(b) == 4
+        for fa, fb in zip(a, b):
+            da, db = np.load(fa), np.load(fb)
+            np.testing.assert_array_equal(da["target"], db["target"])
+            assert da["target"].min() >= 0.0 and da["target"].max() <= 1.0
+            assert da["inputs"].shape == da["target"].shape
+
+    def test_rich_map_is_shared_across_patches(self, tmp_path):
+        """In rich mode the cond→target relation is the SAME function for
+        every patch: a ridge fit on the (nonlinear-feature → target) pairs
+        of patches 0..2 must predict patch 3 far better than the default
+        mode, where each patch draws its own mixing matrix."""
+
+        def fit_and_score(files):
+            def feats(c):
+                # probe basis ⊃ the generator's feature family
+                cols = [np.tanh(c[i]) for i in range(4)]
+                cols += [np.sin(3.0 * c[i]) for i in range(4)]
+                cols += [np.tanh(c[i] * c[j]) for i in range(4)
+                         for j in range(i + 1, 4)]
+                cols += [np.abs(np.tanh(c[i])) for i in range(4)]
+                cols.append(np.ones_like(c[0]))
+                return np.stack([x.ravel() for x in cols], 1)
+
+            X, Y = [], []
+            for f in files[:-1]:
+                d = np.load(f)
+                X.append(feats(d["inputs"]))
+                Y.append(d["target"].reshape(4, -1).T)
+            X, Y = np.concatenate(X), np.concatenate(Y)
+            W = np.linalg.solve(X.T @ X + 1e-3 * np.eye(X.shape[1]),
+                                X.T @ Y)
+            d = np.load(files[-1])
+            pred = feats(d["inputs"]) @ W
+            return float(np.abs(pred - d["target"].reshape(4, -1).T).mean())
+
+        rich = make_synthetic_patches(str(tmp_path / "rich"), n=4, size=32,
+                                      seed=5, rich=True, mask_holes=False)
+        plain = make_synthetic_patches(str(tmp_path / "plain"), n=4,
+                                       size=32, seed=5, mask_holes=False)
+        err_rich, err_plain = fit_and_score(rich), fit_and_score(plain)
+        assert err_rich < 0.5 * err_plain, (err_rich, err_plain)
