@@ -60,6 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="anchored: distill the GT-anchored reconstruction "
                          "map; puregen: distill pure generation from unit "
                          "noise (use with --t_start 999)")
+    ap.add_argument("--student_param", choices=["eps", "v"], default="eps",
+                    help="student head for the ENDPOINT phase. Use 'v' with "
+                         "--endpoint_mode puregen: the v readout "
+                         "x0̂ = √ᾱ·x_t − √(1−ᾱ)·v is O(1)-conditioned at "
+                         "t≈T where the ε readout divides by √ᾱ≈1e-4 "
+                         "(train/distill.py make_endpoint_distill_step)")
+    ap.add_argument("--guidance_scale", type=float, default=None,
+                    help="roll the endpoint TEACHER with classifier-free "
+                         "guidance at this scale (one stacked forward); the "
+                         "student absorbs guidance so inference stays one "
+                         "plain call — requires a cond-dropout-trained "
+                         "teacher (train --cfg_drop_prob)")
     ap.add_argument("--skip_progressive", action="store_true",
                     help="endpoint-only distillation from the raw teacher. "
                          "NOTE: measured weak at t_start=200 (a raw-teacher "
@@ -139,7 +151,8 @@ def main(argv=None) -> None:
             epochs=args.endpoint_epochs, batch_size=args.batch_size,
             teacher_steps=args.endpoint_teacher_steps,
             n_seeds=args.endpoint_seeds, progress=log, seed=args.seed,
-            mode=args.endpoint_mode)
+            mode=args.endpoint_mode, student_param=args.student_param,
+            guidance_scale=args.guidance_scale)
 
     save_model(student, args.model_path)
     print(json.dumps({
@@ -147,6 +160,8 @@ def main(argv=None) -> None:
         "final_steps": int(args.final_steps),
         "phases": phases,
         "endpoint_epochs": args.endpoint_epochs,
+        "student_param": args.student_param,
+        "guidance_scale": args.guidance_scale,
     }))
 
 

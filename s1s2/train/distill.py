@@ -307,6 +307,7 @@ def make_endpoint_distill_step(
     cfg: DistillConfig,
     pure_noise_init: bool = False,
     spectral_w: float = 0.0,
+    student_param: str = "eps",
 ) -> Callable:
     """Build ``step(state, batch, key) -> (state, metrics)`` for ENDPOINT
     distillation: the student, queried once at t = cfg.t_start, regresses
@@ -328,11 +329,22 @@ def make_endpoint_distill_step(
     "Step distillation").
 
     ``pure_noise_init`` switches the student input from the anchored
-    ``q_sample(x0, noise, t_start)`` to the PURE-GENERATION convention
+    ``q_sample(x0, noise, t_start)`` to the PURE-GENERATION convention —
     x_t = noise (unit scale, `ddim_generate`'s init,
-    `Evaluation_Updated/Evaluation_Pure_Generation.py:278`): the student
-    then learns the 1-call noise→image map against teacher full-chain
-    pure-gen outputs.
+    `Evaluation_Updated/Evaluation_Pure_Generation.py:278`) for ε students,
+    x_t = √(1−ᾱ)·noise (the v family's mean-free init,
+    `..._v_Prediction.py:154`) for v students: the student then learns the
+    1-call noise→image map against teacher full-chain pure-gen outputs.
+
+    ``student_param`` picks the regression space. "eps" inverts the 1-step
+    DDIM update for the ε whose x0̂ equals the teacher endpoint — but at
+    t_start≈T the readout x0̂ = (x_t − σ·ε)/√ᾱ divides by √ᾱ ≈ 1e-4, so an
+    ε student is ARCHITECTURALLY ill-conditioned for pure generation (tiny
+    prediction errors blow up 1e4×; measured divergence, CLAUDE.md).
+    "v" regresses v_req = (√ᾱ·x_t − x0_tgt)/√(1−ᾱ) — the exact inversion of
+    the v sampler's one-step readout x0̂ = √ᾱ·x_t − √(1−ᾱ)·v, whose
+    conditioning is O(1) at EVERY t (at t=999, x0̂ ≈ −v). Use "v" for
+    puregen endpoint students.
 
     batch = (cond, x0_data, mask, noise, x0_teacher): ``noise`` is the draw
     used for both the teacher rollout's init and the student's input, so
@@ -352,28 +364,35 @@ def make_endpoint_distill_step(
     # endpoint), conditioned O(1) at every t; for the anchored t_start=200
     # case this is the x0 loss scaled by the constant ᾱ (AdamW-invariant).
     g_guard = np.float32(np.sqrt(ab + 1e-8))
+    s_par = Parameterization(student_param)
 
     def loss_fn(params, cond, x0, mask, noise, x0_tgt):
         B = x0.shape[0]
         if pure_noise_init:
-            x_t = noise
+            # match each family's eval-time init convention exactly
+            x_t = noise if s_par is Parameterization.EPS else noise * s1mab
         else:
             x_t = q_sample(x0, noise, jnp.full((B,), sab),
                            jnp.full((B,), s1mab))
         pred = apply_fn({"params": params},
                         jnp.concatenate([x_t, cond], axis=-1),
                         jnp.full((B,), t_start, jnp.int32))
-        eps_req = (x_t - g_guard * jax.lax.stop_gradient(x0_tgt)) / s1mab
+        tgt = jax.lax.stop_gradient(x0_tgt)
+        if s_par is Parameterization.EPS:
+            pred_req = (x_t - g_guard * tgt) / s1mab
+        else:  # v: invert x0̂ = √ᾱ·x_t − √(1−ᾱ)·v
+            pred_req = (sab * x_t - tgt) / s1mab
         m = mask[..., None].astype(jnp.float32)
         if cfg.mask_as_weights:
             m = m / jnp.clip(m.mean(), 1e-6, None)
         else:
             m = (m > 0).astype(jnp.float32)
-        err2 = m * (pred - eps_req) ** 2
+        err2 = m * (pred - pred_req) ** 2
         loss = err2.sum() / jnp.clip(m.sum() * x0.shape[-1], 1e-6, None)
         if spectral_w > 0.0:
-            x0_pred = (x_t - s1mab * pred) / g_guard
-            tgt = jax.lax.stop_gradient(x0_tgt)
+            x0_pred = ((x_t - s1mab * pred) / g_guard
+                       if s_par is Parameterization.EPS
+                       else sab * x_t - s1mab * pred)
             dot = (x0_pred * tgt).sum(-1)
             nrm = (jnp.clip(jnp.sqrt((x0_pred**2).sum(-1)), 1e-6, None)
                    * jnp.clip(jnp.sqrt((tgt**2).sum(-1)), 1e-6, None))
@@ -420,6 +439,8 @@ def endpoint_distill(
     rollout_chunk: int = 32,
     mode: str = "anchored",
     spectral_w: float = 0.0,
+    student_param: str = "eps",
+    guidance_scale: Optional[float] = None,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
@@ -437,10 +458,18 @@ def endpoint_distill(
     remote-device runtime — falling back to host storage + per-batch upload
     beyond that. Returns the student's EMA params. (cond, x0, mask) are
     full-dataset NHWC arrays.
+
+    ``guidance_scale`` (g≠1) rolls the teacher with classifier-free guidance
+    (one stacked cond/uncond forward, `make_cfg_denoise_fn`): the student
+    absorbs cond/uncond mixing AND the scale, so guided sampling costs ONE
+    plain forward at inference — the guidance-distilled operating point.
+    ``student_param`` picks the student head (see
+    ``make_endpoint_distill_step``; use "v" for puregen).
     """
     from s1s2.sampling.grids import round_unique_grid
     from s1s2.sampling.samplers import (ddim_anchored, ddim_generate,
-                                        ddim_grid_sample, make_denoise_fn)
+                                        ddim_grid_sample, make_cfg_denoise_fn,
+                                        make_denoise_fn)
 
     t_par = Parameterization(teacher_param or cfg.teacher_param)
     teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
@@ -468,17 +497,28 @@ def endpoint_distill(
 
     if mode not in ("anchored", "puregen"):
         raise ValueError(f"unknown endpoint mode {mode!r}")
-    if mode == "puregen" and t_par is not Parameterization.EPS:
-        raise ValueError("puregen endpoint targets need an eps teacher "
-                         "(distill the v teacher progressively first — all "
-                         "students carry the eps head)")
+    if (mode == "puregen" and t_par is not Parameterization.EPS
+            and student_param != "v"):
+        raise ValueError("puregen endpoint targets from a v teacher need a "
+                         "v student head (student_param='v'): the ε readout "
+                         "x0̂ = (x_t − σε)/√ᾱ is ill-conditioned at t≈T")
 
     def roll_teacher(cond_c, x0_c, nz_c):
-        fn_c = make_denoise_fn(apply_fn, {"params": teacher}, cond_c)
+        if guidance_scale is not None and float(guidance_scale) != 1.0:
+            fn_c = make_cfg_denoise_fn(apply_fn, {"params": teacher}, cond_c,
+                                       float(guidance_scale))
+        else:
+            fn_c = make_denoise_fn(apply_fn, {"params": teacher}, cond_c)
         if mode == "puregen":
-            return ddim_generate(fn_c, x0_c.shape, jax.random.PRNGKey(0),
-                                 schedule, cfg.t_start, teacher_steps,
-                                 noise=nz_c)
+            if t_par is Parameterization.EPS:
+                return ddim_generate(fn_c, x0_c.shape, jax.random.PRNGKey(0),
+                                     schedule, cfg.t_start, teacher_steps,
+                                     noise=nz_c)
+            # v-family pure generation: mean-free √(1−ᾱ)-scaled init
+            # (`..._v_Prediction.py:154`), round-unique grid
+            return ddim_grid_sample(fn_c, nz_c * s1mab_k,
+                                    jax.random.PRNGKey(0), schedule, grid,
+                                    t_par)
         if t_par is Parameterization.EPS:
             return ddim_anchored(fn_c, x0_c, jax.random.PRNGKey(0), schedule,
                                  cfg.t_start, teacher_steps, noise=nz_c)
@@ -509,7 +549,7 @@ def endpoint_distill(
 
     step = jax.jit(make_endpoint_distill_step(
         apply_fn, schedule, cfg, pure_noise_init=(mode == "puregen"),
-        spectral_w=spectral_w),
+        spectral_w=spectral_w, student_param=student_param),
         donate_argnums=(0,))
     state = create_distill_state(student_params, cfg)
     rng = np.random.default_rng(seed)

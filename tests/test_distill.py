@@ -299,17 +299,95 @@ def test_endpoint_puregen_mode(rng):
     assert all(np.isfinite(l["loss"]) for l in logs)
 
 
-def test_endpoint_puregen_rejects_v_teacher(rng):
+def test_endpoint_puregen_v_teacher_needs_v_student(rng):
+    """A v teacher's puregen targets may only feed a v-head student: the
+    ε readout divides by √ᾱ≈0 at t≈T (ill-conditioned)."""
     from s1s2.train.distill import endpoint_distill
 
     schedule = Schedule.cosine(100)
     cfg = DistillConfig(T=100, t_start=99, teacher_param="v")
     model, teacher, batch = _tiny_setup(rng, H=8, W=8)
     cond, x0, mask = batch
-    with pytest.raises(ValueError, match="eps teacher"):
+    with pytest.raises(ValueError, match="v student head"):
         endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
                          cond, x0, mask, epochs=1, batch_size=2,
                          mode="puregen")
+
+
+def test_endpoint_v_student_readout_identity():
+    """The v-head regression target is the EXACT inversion of the one-step
+    readout: plugging pred_req back into x0̂ = √ᾱ·x_t − √(1−ᾱ)·v recovers
+    the teacher endpoint bit-for-bit (in f64 algebra) at every t, including
+    t=T−1 where the ε inversion loses ~4 digits to the 1/√ᾱ blow-up."""
+    schedule = Schedule.cosine(1000)
+    ab_tab = schedule.alpha_bar_np()
+    rng = np.random.default_rng(0)
+    x_t = rng.standard_normal((4, 4, 3))
+    tgt = rng.uniform(0, 1, (4, 4, 3))
+    for t in (999, 500, 200):
+        sab = np.sqrt(ab_tab[t])
+        s1mab = np.sqrt(1 - ab_tab[t])
+        v_req = (sab * x_t - tgt) / s1mab
+        x0_hat = sab * x_t - s1mab * v_req
+        np.testing.assert_allclose(x0_hat, tgt, rtol=0, atol=1e-12)
+
+
+def test_endpoint_puregen_v_teacher_v_student_end_to_end(rng):
+    """v→v pure-generation endpoint distillation: targets from the v
+    family's mean-free √(1−ᾱ)-init rollout, student trained in v space;
+    the returned params drive a finite 1-step v-grid sample and the loss
+    stays O(1) (the regression space is well-conditioned at t≈T)."""
+    from s1s2.core.parametrize import Parameterization
+    from s1s2.sampling.grids import round_unique_grid
+    from s1s2.sampling.samplers import ddim_grid_sample
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=99, lr=1e-3, teacher_param="v")
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    logs = []
+    student = endpoint_distill(
+        model.apply, schedule, cfg, teacher, teacher, cond, x0, mask,
+        epochs=2, batch_size=2, teacher_steps=4, n_seeds=1,
+        mode="puregen", student_param="v", progress=logs.append,
+        log_every=1)
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    assert all(abs(l["loss"]) < 1e4 for l in logs)  # v-space: no 1/√ᾱ blow-up
+    grid = round_unique_grid(99, 1, 100)
+    s1mab = float(np.sqrt(1 - schedule.alpha_bar_np()[int(grid[-1])]))
+    nz = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
+    out = ddim_grid_sample(
+        lambda x, t: model.apply({"params": student},
+                                 jnp.concatenate([x, cond], -1), t),
+        nz * s1mab, jax.random.PRNGKey(0), schedule, grid,
+        Parameterization.V)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_endpoint_guidance_scale_changes_targets(rng):
+    """guidance_scale rolls the teacher through the CFG stacked forward;
+    the distilled student absorbs the guidance, so different scales must
+    produce different students (and scale=1.0 must match the plain path)."""
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+
+    def run(g):
+        cfg = DistillConfig(T=100, t_start=50, lr=1e-3)
+        return endpoint_distill(
+            model.apply, schedule, cfg, teacher, teacher, cond, x0, mask,
+            epochs=1, batch_size=2, teacher_steps=2, n_seeds=1,
+            guidance_scale=g)
+
+    flat = lambda p: np.concatenate([np.asarray(l).ravel() for l in
+                                     jax.tree_util.tree_leaves(p)])
+    s_none, s_one, s_two = flat(run(None)), flat(run(1.0)), flat(run(2.0))
+    np.testing.assert_array_equal(s_none, s_one)  # g=1 short-circuits to plain
+    assert np.isfinite(s_two).all()
+    assert np.abs(s_two - s_none).max() > 1e-7  # guidance really fed through
 
 
 def test_endpoint_spectral_term(rng):
