@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                     default="bfloat16")
     ap.add_argument("--save_state_dir", type=str, default=None,
                     help="orbax dir for full resume state")
+    ap.add_argument("--save_every", type=int, default=1,
+                    help="checkpoint cadence in epochs (model_last/best + "
+                         "resume state; final epoch always saves). Each "
+                         "save downloads the full param tree — on a "
+                         "remote-device runtime cadence 10 cuts epoch wall "
+                         "time ~4x for small models")
     ap.add_argument("--resume", action="store_true",
                     help="restore params+opt+EMA+step from --save_state_dir")
     ap.add_argument("--profile_dir", type=str, default=None,
@@ -125,6 +131,7 @@ def main(argv=None) -> None:
         schedule=args.schedule,
         log_every=args.log_every,
         save_state_dir=args.save_state_dir,
+        save_every=args.save_every,
         resume=args.resume,
         spatial_shard=args.spatial_shard,
         compute_dtype=args.compute_dtype,

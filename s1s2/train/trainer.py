@@ -50,6 +50,7 @@ class RunConfig:
     metrics_jsonl: Optional[str] = None  # structured metrics sink
     remat: bool = False  # rematerialize UNet blocks (memory ↔ FLOPs)
     cache_dir: Optional[str] = None  # MmapCache dir (decompress npz once)
+    save_every: int = 1  # checkpoint cadence in epochs (last/best/state)
 
 
 def train_loop(
@@ -83,6 +84,7 @@ def train_loop(
         init_key, jnp.zeros((1, H, W, Cc + Ct), jnp.float32), jnp.zeros((1,), jnp.int32)
     )
     state = create_train_state(variables["params"], cfg)
+    start_epoch = 1
     if run.resume and run.save_state_dir:
         import os
 
@@ -90,8 +92,19 @@ def train_loop(
 
         if os.path.exists(run.save_state_dir):
             state = restore_state(run.save_state_dir, template=state)
+            # Elastic recovery: state is saved at epoch boundaries, so the
+            # restored step count locates the next epoch to run. Resuming
+            # at that epoch replays the SAME shuffle (seed, epoch) and the
+            # SAME per-step noise (fold_in(key, state.step)) as an
+            # uninterrupted run — final params are bit-identical
+            # (tests/test_multiprocess.py::test_kill_resume_*). The
+            # reference cannot resume at all (SURVEY §5).
+            steps_per_epoch = len(ds) // run.batch_size
+            if steps_per_epoch > 0:
+                start_epoch = int(state.step) // steps_per_epoch + 1
             if progress:
-                progress({"resumed_at_step": int(state.step)})
+                progress({"resumed_at_step": int(state.step),
+                          "resumed_at_epoch": start_epoch})
 
     mesh = make_mesh_for_batch(run.batch_size,
                                space=2 if run.spatial_shard else 1)
@@ -105,7 +118,7 @@ def train_loop(
 
     from s1s2.utils.profiling import trace_context
 
-    for epoch in range(1, run.epochs + 1):
+    for epoch in range(start_epoch, run.epochs + 1):
         running, n_batches = 0.0, 0
         t0 = time.perf_counter()
         profile_ctx = trace_context(run.profile_dir if epoch == 1 else None)
@@ -150,13 +163,25 @@ def train_loop(
         # EMA-weighted last/best/final triple (`Train_Orignal.py:323-336`);
         # in multi-process runs only process 0 writes (params replicated)
         is_p0 = jax.process_index() == 0
-        if is_p0:
+        # save_every>1 amortizes the checkpoint cost: each save downloads
+        # the full param/opt tree from the device (~20 s/epoch on the
+        # remote-TPU tunnel, 4x the step compute for small models). "best"
+        # is then best-at-save-points — with save_every>1 an off-cadence
+        # best epoch is approximated by the next saved one. The final epoch
+        # always saves, and resume granularity equals the cadence.
+        do_save = (epoch % run.save_every == 0) or epoch == run.epochs
+        if is_p0 and do_save:
             save_model(state.ema_params, last_path)
-        if avg_loss < best_loss:
+        if avg_loss < best_loss and do_save:
             best_loss = avg_loss
             if is_p0:
                 save_model(state.ema_params, best_path)
-        if run.save_state_dir and is_p0:
+        # EVERY process must enter save_state: orbax's Checkpointer.save is
+        # a global barrier (multihost.sync_global_processes) and the primary
+        # host does the actual write — a p0-only call wedges the other
+        # ranks' Gloo barrier (30 s GetKeyValue timeout, observed). The
+        # cadence is deterministic across ranks, so all enter together.
+        if run.save_state_dir and do_save:
             save_state(state, run.save_state_dir)
         if progress:
             progress({"epoch": epoch, "avg_loss": avg_loss,

@@ -3,6 +3,11 @@
 cross-process collectives + per-process loader sharding).
 
 Usage: python tests/_mp_train_worker.py <process_id> <port> <patches> <out>
+                                        [extra train-CLI args...]
+
+Extra args are appended to the train CLI line (argparse last-wins), so the
+failure-recovery tests can override --epochs and add --save_state_dir /
+--resume without changing the base invocation.
 """
 
 import os
@@ -26,6 +31,6 @@ train.main([
     "--seed", "7", "--log_every", "1",
     "--coordinator", f"localhost:{port}",
     "--num_processes", "2", "--process_id", pid,
-])
+] + sys.argv[5:])
 print(f"WORKER_OK {pid} nproc={jax.process_count()} ndev={len(jax.devices())}",
       flush=True)

@@ -79,3 +79,38 @@ def test_eval_file_list_missing_entry_raises(patch_dir, tmp_path):
             "--mode", "baseline_bicubic", "--patch_dir", patch_dir,
             "--out_dir", str(tmp_path), "--file_list", str(fl),
         ])
+
+
+def test_save_every_cadence(patch_dir, tmp_path, monkeypatch):
+    """save_every gates all three per-epoch saves (model_last/model_best/
+    orbax state) to the cadence — the final epoch always saves. Each save
+    downloads the full param tree, which dominates epoch wall time for
+    small models on a remote-device runtime."""
+    from s1s2.train import trainer as trainer_mod
+    from s1s2.train.loop import TrainConfig
+    from s1s2.train.trainer import RunConfig, train_loop
+
+    calls = {"model": [], "state": []}
+    real_save_model = trainer_mod.save_model
+    real_save_state = trainer_mod.save_state
+    monkeypatch.setattr(trainer_mod, "save_model",
+                        lambda p, path: calls["model"].append(path)
+                        or real_save_model(p, path))
+    monkeypatch.setattr(trainer_mod, "save_state",
+                        lambda s, d: calls["state"].append(d)
+                        or real_save_state(s, d))
+
+    model_path = str(tmp_path / "m.msgpack")
+    train_loop(
+        RunConfig(patch_dir=patch_dir, model_path=model_path, epochs=5,
+                  batch_size=2, base_ch=4, compute_dtype="float32",
+                  save_state_dir=str(tmp_path / "state"), save_every=3),
+        TrainConfig(T=10),
+    )
+    # state saved only at epochs 3 and 5 (cadence + forced final)
+    assert len(calls["state"]) == 2
+    # model_last at epochs 3 and 5, model_best at most as often, plus the
+    # unconditional final model write
+    last = [p for p in calls["model"] if p.endswith("_last.msgpack")]
+    assert len(last) == 2
+    assert os.path.exists(model_path)
