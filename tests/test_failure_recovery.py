@@ -38,16 +38,24 @@ def patch_dir(tmp_path_factory):
     return str(d)
 
 
-def _epoch_losses(lines):
-    out = {}
+def _json_lines(lines):
+    """Parse each line as JSON, silently skipping non-JSON/mangled lines
+    (heavy host load can garble a line; a missing record should surface as
+    the *assert* that needs it, not a JSONDecodeError)."""
+    out = []
     for line in lines:
         try:
             d = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
-        if isinstance(d, dict) and "avg_loss" in d:
-            out[d["epoch"]] = d["avg_loss"]
+        if isinstance(d, dict):
+            out.append(d)
     return out
+
+
+def _epoch_losses(lines):
+    return {d["epoch"]: d["avg_loss"] for d in _json_lines(lines)
+            if "avg_loss" in d}
 
 
 def _watch_and_kill(proc, kill_procs, timeout=420.0):
@@ -127,8 +135,7 @@ def test_kill_resume_single_process(patch_dir, tmp_path):
     res_out = proc.communicate(timeout=600)[0]
     assert proc.returncode == 0, res_out
     out_lines = res_out.splitlines()
-    resumed = [json.loads(l) for l in out_lines
-               if l.startswith("{") and "resumed_at_step" in l]
+    resumed = [d for d in _json_lines(out_lines) if "resumed_at_step" in d]
     assert resumed and resumed[0]["resumed_at_epoch"] == 2, out_lines
 
     # loss continuity: epochs 2-3 replay the uninterrupted run exactly
@@ -203,8 +210,7 @@ def test_kill_rank1_resume_cluster(patch_dir, tmp_path):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     assert [p.returncode for p in procs] == [0, 0], outs
     res_lines = outs[0].splitlines()
-    resumed = [json.loads(l) for l in res_lines
-               if l.startswith("{") and "resumed_at_step" in l]
+    resumed = [d for d in _json_lines(res_lines) if "resumed_at_step" in d]
     assert resumed and resumed[0]["resumed_at_epoch"] == 2, res_lines
     res_losses = _epoch_losses(res_lines)
     assert res_losses[2] == base_losses[2]
