@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "student absorbs guidance so inference stays one "
                          "plain call — requires a cond-dropout-trained "
                          "teacher (train --cfg_drop_prob)")
+    ap.add_argument("--student_init", type=str, default=None,
+                    help="checkpoint to INITIALIZE the student from (e.g. an "
+                         "already-distilled student, for endpoint-only head "
+                         "retargeting). Default: the teacher when "
+                         "--skip_progressive, else the progressive result")
     ap.add_argument("--skip_progressive", action="store_true",
                     help="endpoint-only distillation from the raw teacher. "
                          "NOTE: measured weak at t_start=200 (a raw-teacher "
@@ -127,7 +132,15 @@ def main(argv=None) -> None:
 
     log = lambda d: print(json.dumps(d), flush=True)
     phases = []
-    if args.skip_progressive:
+    if args.student_init:
+        student = jax.tree_util.tree_map(
+            jnp.asarray,
+            load_params(args.student_init, template=variables["params"]))
+        if not args.skip_progressive:
+            ap.error("--student_init only makes sense with "
+                     "--skip_progressive (progressive distillation would "
+                     "overwrite the init from the teacher)")
+    elif args.skip_progressive:
         student = jax.tree_util.tree_map(jnp.asarray, teacher)
     else:
         result = progressive_distill(model.apply, schedule, cfg, teacher,

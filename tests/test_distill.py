@@ -411,3 +411,48 @@ def test_endpoint_spectral_term(rng):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_distill_cli_student_init(tmp_path, rng):
+    """--student_init decouples the endpoint student's starting weights from
+    the target-generating teacher (endpoint-only head retargeting: e.g.
+    fine-tune an already-distilled ε student with a v head while the
+    ORIGINAL teacher still rolls the ddim targets)."""
+    from s1s2.cli import distill as cli_distill
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.models import UNetSmall
+    from s1s2.train.checkpoint import load_any_checkpoint, save_model
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=3)
+    model = UNetSmall(out_ch=4, base_ch=4, compute_dtype=jnp.float32)
+    teacher_path = str(tmp_path / "teacher.msgpack")
+    init_path = str(tmp_path / "init.msgpack")
+    for seed, path in ((0, teacher_path), (1, init_path)):
+        save_model(model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 8), jnp.float32),
+            jnp.zeros((1,), jnp.int32))["params"], path)
+
+    student_path = str(tmp_path / "student.msgpack")
+    args = [
+        "--patch_dir", patches, "--teacher", teacher_path,
+        "--model_path", student_path, "--T", "50", "--t_start", "25",
+        "--batch_size", "2", "--base_ch", "4", "--compute_dtype", "float32",
+        "--skip_progressive", "--student_init", init_path,
+        "--endpoint_epochs", "1", "--endpoint_seeds", "1",
+        "--endpoint_teacher_steps", "2", "--student_param", "v",
+    ]
+    cli_distill.main(args)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"]
+    params = load_any_checkpoint(student_path, template=template)
+    assert np.isfinite(
+        float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.abs(x).sum(), params, jnp.float32(0.0))))
+
+    # without --skip_progressive the init would be silently overwritten —
+    # must be rejected
+    bad = [a for a in args if a != "--skip_progressive"]
+    with pytest.raises(SystemExit):
+        cli_distill.main(bad)
