@@ -1206,12 +1206,21 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
 
         maes, mses, psnrs = [], [], []
         psnr_v = _vmapped(M.psnr)
+        viz_left = cfg.save_viz_n
         for (cond, gt, mask), names, n_valid in eval_batches(ctx.eval_ds, cfg.batch_size):
             idxs = [ctx.file_idx[n] for n in names]
             padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
             noise = ctx.per_file_noise(padded)
             x0 = generate(jnp.asarray(cond), noise,
                           ctx.per_file_keys(padded, salt=ETA_SALT))
+            for j in range(min(viz_left, n_valid)):
+                V.save_panel(
+                    np.asarray(x0[j]), gt[j], cond[j],
+                    os.path.join(ctx.viz_dir,
+                                 f"cfg_g{g:g}_{os.path.splitext(names[j])[0]}.png"),
+                    title=f"CFG g={g:g}  t_start={cfg.t_start} "
+                          f"steps={cfg.ddim_steps}  {names[j]}")
+            viz_left -= min(viz_left, n_valid)
             gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
             mae_b, mse_b = M.per_file_mae_mse(x0, gt_j, mask_j)
             p_b = psnr_v(x0, gt_j, mask_j)
