@@ -141,15 +141,21 @@ def main(argv=None) -> None:
         cache_dir=args.cache_dir,
     )
 
+    import sys
+
     def progress(d):
-        print(json.dumps(d))
+        # one write syscall per record: print() issues TWO (text, newline),
+        # and native-library chatter (e.g. Gloo's rank banner) can splice
+        # between them, corrupting the machine-readable stream
+        sys.stdout.write(json.dumps(d) + "\n")
+        sys.stdout.flush()
 
     hist = train_loop(run, cfg, progress=progress)
-    print(json.dumps({
+    progress({
         "best_loss": hist["best_loss"],
         "epoch_loss": hist["epoch_loss"],
         "skipped": hist["skipped"],
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -39,17 +39,26 @@ def patch_dir(tmp_path_factory):
 
 
 def _json_lines(lines):
-    """Parse each line as JSON, silently skipping non-JSON/mangled lines
-    (heavy host load can garble a line; a missing record should surface as
-    the *assert* that needs it, not a JSONDecodeError)."""
+    """Extract every JSON object from worker stdout, tolerating mangled
+    lines. Gloo's C++ banner writes straight to fd 1 and can splice BETWEEN
+    print()'s two write syscalls (text, then newline), yielding lines like
+    ``{"resumed_at_step": ...}[Gloo] Rank 0 ...`` — raw_decode recovers the
+    leading object(s) instead of dropping the record."""
+    dec = json.JSONDecoder()
     out = []
     for line in lines:
-        try:
-            d = json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-        if isinstance(d, dict):
-            out.append(d)
+        s = line.strip()
+        while True:
+            start = s.find("{")
+            if start < 0:
+                break
+            try:
+                d, end = dec.raw_decode(s[start:])
+            except ValueError:
+                break
+            if isinstance(d, dict):
+                out.append(d)
+            s = s[start + end:]
     return out
 
 
