@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--metrics_jsonl", type=str, default=None,
                     help="append per-epoch metrics to this JSONL file")
     ap.add_argument("--remat", action="store_true",
-                    help="rematerialize UNet blocks (less memory, ~30% more FLOPs)")
+                    help="rematerialize UNet blocks (less memory, ~30%% more FLOPs)")
     ap.add_argument("--cache_dir", type=str, default=None,
                     help="decompress the npz dataset ONCE into mmap'd .npy "
                          "files here; later epochs read zero-copy")
