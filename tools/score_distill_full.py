@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--param", choices=("eps", "v"), default="eps",
                     help="TEACHER parameterization (students are always eps)")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--student_steps", type=int, default=1,
+                    help="student DDIM budget (2 for the progressive-only "
+                    "2-step SAM experiment, BENCH_NOTES 'Step distillation')")
     ap.add_argument("--out", default=None, help="write rows to this JSONL")
     args = ap.parse_args()
 
@@ -111,7 +114,8 @@ def main():
 
     t20 = score("teacher_ddim20", run(teacher, 20, args.param))
     score("teacher_ddim1", run(teacher, 1, args.param))
-    s1 = score("student_ep_ddim1", run(student, 1))
+    n_s = args.student_steps
+    s1 = score(f"student_ep_ddim{n_s}", run(student, n_s))
 
     if args.int8:
         from s1s2.core.parametrize import q_sample
@@ -130,8 +134,8 @@ def main():
                           jnp.full((8,), tval, jnp.int32)))
         qp = quantize_unet(student, calib)
         fn = make_quant_denoise_fn(qp, cond)
-        score("student_ep_int8_ddim1",
-              ddim_anchored(fn, gt, key, schedule, args.t_start, 1,
+        score(f"student_ep_int8_ddim{n_s}",
+              ddim_anchored(fn, gt, key, schedule, args.t_start, n_s,
                             noise=noise))
 
     summary = {
