@@ -24,10 +24,21 @@ with an MXU dot fails to compile, in every formulation tried (ref-window
 reshape, 3-D dot_general, copy-to-contiguous-scratch, value-level slices).
 Since XLA's conv runs the UNet at 86% MFU and the int8 path at 92% of int8
 peak (BENCH_NOTES.md), a split two-pass Pallas conv (DMA pass + compute
-pass) would pay an extra HBM roundtrip and lose; the kernel therefore
-remains the interpreter-validated ops-layer reference
-(tests/test_ops.py::TestPallasConv3x3). Re-evaluate on a standard
-(non-remote-compile) TPU runtime.
+pass) would pay an extra HBM roundtrip and lose; the manual-DMA kernel
+therefore remains the interpreter-validated ops-layer reference
+(tests/test_ops.py::TestPallasConv3x3).
+
+r3 breakthrough — :func:`conv3x3_relu_bs`: reformulating the halo as TWO
+strip-shifted BlockSpec views of the same padded input (strip i = body,
+strip i+1 sliced for the 2 halo rows) removes the manual DMA entirely,
+landing in the "plain BlockSpec + dot" cell of the capability matrix —
+and it COMPILES AND RUNS on this runtime's real TPU: the first Pallas
+kernel with MXU FLOPs to execute here. Measured vs XLA's conv at the
+UNet's four level shapes (tools/bench_pallas_conv.py, 20-step varying-
+carry scan chains): 42.7→125.9 TFLOP/s bf16, i.e. 62–91% of XLA
+(XLA 69.2→139.0) — XLA keeps the production path; the gap is the 2×
+input fetch plus XLA's better-tuned conv schedule. Numbers in
+BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -63,6 +74,71 @@ def _kernel(xp_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Cin, Cout,
             acc += jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
     out = jnp.maximum(acc + b_ref[:].astype(jnp.float32), 0.0)
     out_ref[0] = out.reshape(TH, W, Cout).astype(out_ref.dtype)
+
+
+def _kernel_bs(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, R, W, Cin, Cout,
+               compute_dtype, apply_relu):
+    # Strip i plus the top 2 halo rows of strip i+1 — all delivered by the
+    # BlockSpec pipeline, no manual DMA (the pattern this runtime compiles).
+    x0 = x0_ref[0]                      # (R, W+2, Cin)
+    x1 = jax.lax.slice(x1_ref[0], (0, 0, 0), (2, W + 2, Cin))
+    xcat = jnp.concatenate([x0, x1], axis=0)  # (R+2, W+2, Cin)
+    acc = jnp.zeros((R, W, Cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(
+                xcat, (dy, dx, 0), (dy + R, dx + W, Cin)).astype(compute_dtype)
+            acc = acc + jax.lax.dot_general(
+                win, w_ref[dy, dx].astype(compute_dtype),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out = acc + b_ref[:].astype(jnp.float32)
+    if apply_relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def conv3x3_relu_bs(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                    tile_rows: int = 32, apply_relu: bool = True) -> jnp.ndarray:
+    """BlockSpec-only 3×3 SAME conv + bias (+ ReLU) — no manual DMA.
+
+    Same math as :func:`conv3x3_relu`, reformulated for the axon
+    remote-compile runtime where manual DMA + MXU dot in one kernel fails
+    (module docstring): the halo is obtained by passing the row-padded
+    input TWICE with strip-shifted BlockSpec index maps (strip i and strip
+    i+1), concatenating in VMEM, and running the nine shifted
+    (R,W,Cin)×(Cin,Cout) `dot_general`s — exactly the plain-BlockSpec+dot
+    pattern the r2 bisect proved compiles and runs here. Costs a 2× input
+    fetch (strips are read as both "body" and "halo source"), which is
+    immaterial for these MXU-bound shapes.
+
+    x (B,H,W,Cin), w (3,3,Cin,Cout) [HWIO], b (Cout,). H % tile_rows == 0.
+    """
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    R = min(tile_rows, H)
+    assert H % R == 0, (H, R)
+    n = H // R
+    compute_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    # Rows padded to (n+1)*R so the i+1 halo strip exists for the last i.
+    xp = jnp.pad(x, ((0, 0), (1, (n + 1) * R - H - 1), (1, 1), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel_bs, R=R, W=W, Cin=Cin, Cout=Cout,
+        compute_dtype=compute_dtype, apply_relu=apply_relu)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n),
+        in_specs=[
+            pl.BlockSpec((1, R, W + 2, Cin), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, R, W + 2, Cin), lambda bi, i: (bi, i + 1, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+        ],
+        out_specs=pl.BlockSpec((1, R, W, Cout), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+    )(xp, xp, w, b)
 
 
 def conv3x3_relu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,

@@ -66,6 +66,37 @@ class TestPallasConv3x3:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+class TestPallasConv3x3BlockSpec:
+    """BlockSpec-only variant (conv3x3_relu_bs) — the formulation that
+    compiles AND runs on the axon remote-compile TPU runtime (r3)."""
+
+    @pytest.mark.parametrize("B,H,W,Ci,Co,R,relu", [
+        (1, 8, 8, 4, 4, 8, True),       # single strip (n=1)
+        (3, 32, 16, 8, 5, 8, True),     # 4 strips, Ci != Co
+        (2, 16, 8, 6, 7, 4, False),     # no-ReLU epilogue
+        (1, 24, 8, 3, 9, 8, True),      # H not a power of two
+    ])
+    def test_matches_xla_conv(self, rng, B, H, W, Ci, Co, R, relu):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from s1s2.ops.conv3x3 import conv3x3_relu_bs
+
+        x = jnp.asarray(rng.standard_normal((B, H, W, Ci)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.standard_normal(Co).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = conv3x3_relu_bs(x, w, b, tile_rows=R, apply_relu=relu)
+        ref = (
+            jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b
+        )
+        if relu:
+            ref = jax.nn.relu(ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 class TestFusedDDIMUpdate:
     def test_matches_jnp(self, rng):
         """Pallas kernel vs plain jnp (interpreter mode on CPU)."""
