@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "student absorbs guidance so inference stays one "
                          "plain call — requires a cond-dropout-trained "
                          "teacher (train --cfg_drop_prob)")
+    ap.add_argument("--student_base_ch", type=int, default=None,
+                    help="WIDTH distillation: train a student of this "
+                         "base_ch against the (--base_ch) teacher's map. "
+                         "Implies endpoint-only (--skip_progressive); the "
+                         "student starts from random init unless "
+                         "--student_init is given. Measured: the int8 "
+                         "1-step path at base 64 runs ~1.9x the base-96 "
+                         "headline (BENCH_NOTES.md 'Width scaling')")
     ap.add_argument("--student_init", type=str, default=None,
                     help="checkpoint to INITIALIZE the student from (e.g. an "
                          "already-distilled student, for endpoint-only head "
@@ -132,7 +140,30 @@ def main(argv=None) -> None:
 
     log = lambda d: print(json.dumps(d), flush=True)
     phases = []
-    if args.student_init:
+    student_model = model
+    width_change = (args.student_base_ch is not None
+                    and args.student_base_ch != args.base_ch)
+    if width_change:
+        if not args.skip_progressive:
+            ap.error("--student_base_ch requires --skip_progressive: the "
+                     "progressive phases alternate teacher/student roles "
+                     "on one architecture; width distillation is an "
+                     "endpoint-only regression onto the teacher's map")
+        student_model = UNetSmall(
+            out_ch=Ct, base_ch=args.student_base_ch,
+            compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
+            else jnp.float32)
+        s_vars = student_model.init(
+            jax.random.PRNGKey(args.seed + 1),
+            jnp.zeros((1, H, W, Cc + Ct), jnp.float32),
+            jnp.zeros((1,), jnp.int32))
+        if args.student_init:
+            student = jax.tree_util.tree_map(
+                jnp.asarray,
+                load_params(args.student_init, template=s_vars["params"]))
+        else:
+            student = jax.tree_util.tree_map(jnp.asarray, s_vars["params"])
+    elif args.student_init:
         student = jax.tree_util.tree_map(
             jnp.asarray,
             load_params(args.student_init, template=variables["params"]))
@@ -165,7 +196,8 @@ def main(argv=None) -> None:
             teacher_steps=args.endpoint_teacher_steps,
             n_seeds=args.endpoint_seeds, progress=log, seed=args.seed,
             mode=args.endpoint_mode, student_param=args.student_param,
-            guidance_scale=args.guidance_scale)
+            guidance_scale=args.guidance_scale,
+            student_apply_fn=(student_model.apply if width_change else None))
 
     save_model(student, args.model_path)
     print(json.dumps({
@@ -175,6 +207,8 @@ def main(argv=None) -> None:
         "endpoint_epochs": args.endpoint_epochs,
         "student_param": args.student_param,
         "guidance_scale": args.guidance_scale,
+        "student_base_ch": (args.student_base_ch if width_change
+                            else args.base_ch),
     }))
 
 

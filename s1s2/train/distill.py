@@ -441,6 +441,7 @@ def endpoint_distill(
     spectral_w: float = 0.0,
     student_param: str = "eps",
     guidance_scale: Optional[float] = None,
+    student_apply_fn: Optional[Callable] = None,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
@@ -465,6 +466,13 @@ def endpoint_distill(
     plain forward at inference — the guidance-distilled operating point.
     ``student_param`` picks the student head (see
     ``make_endpoint_distill_step``; use "v" for puregen).
+
+    ``student_apply_fn`` decouples the student ARCHITECTURE from the
+    teacher's: teacher rollouts run through ``apply_fn`` while the student
+    step uses ``student_apply_fn`` on ``student_params`` — this is WIDTH
+    distillation (e.g. a base-64 student against a base-96 teacher's map;
+    the int8 1-step path at base 64 measures ~1.9× the base-96 headline,
+    BENCH_NOTES.md "Width scaling"). Default: same as ``apply_fn``.
     """
     from s1s2.sampling.grids import round_unique_grid
     from s1s2.sampling.samplers import (ddim_anchored, ddim_generate,
@@ -548,7 +556,8 @@ def endpoint_distill(
         batch_size = n_ep
 
     step = jax.jit(make_endpoint_distill_step(
-        apply_fn, schedule, cfg, pure_noise_init=(mode == "puregen"),
+        student_apply_fn or apply_fn, schedule, cfg,
+        pure_noise_init=(mode == "puregen"),
         spectral_w=spectral_w, student_param=student_param),
         donate_argnums=(0,))
     state = create_distill_state(student_params, cfg)

@@ -456,3 +456,80 @@ def test_distill_cli_student_init(tmp_path, rng):
     bad = [a for a in args if a != "--skip_progressive"]
     with pytest.raises(SystemExit):
         cli_distill.main(bad)
+
+
+def test_endpoint_width_distill_narrow_student(rng):
+    """Width distillation: a base-2 student regresses onto a base-4
+    teacher's endpoint map via student_apply_fn; the returned tree has the
+    NARROW architecture and drives a finite 1-step anchored sample."""
+    from s1s2.models import UNetSmall
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    narrow = UNetSmall(out_ch=x0.shape[-1], base_ch=2,
+                       compute_dtype=jnp.float32)
+    n_vars = narrow.init(
+        jax.random.PRNGKey(7),
+        jnp.zeros((1, 8, 8, cond.shape[-1] + x0.shape[-1]), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
+    logs = []
+    student = endpoint_distill(
+        model.apply, schedule, cfg, n_vars["params"], teacher, cond, x0,
+        mask, epochs=2, batch_size=2, teacher_steps=2, n_seeds=1,
+        progress=logs.append, log_every=1,
+        student_apply_fn=narrow.apply)
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    # returned tree is the narrow architecture, not the teacher's
+    s_shapes = jax.tree_util.tree_map(lambda x: x.shape, student)
+    n_shapes = jax.tree_util.tree_map(lambda x: x.shape, n_vars["params"])
+    assert s_shapes == n_shapes
+    out = ddim_anchored(
+        lambda x, t: narrow.apply({"params": student},
+                                  jnp.concatenate([x, cond], -1), t),
+        x0, jax.random.PRNGKey(3), schedule, t_start=50, steps=1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_distill_cli_student_base_ch(tmp_path, rng):
+    """--student_base_ch trains a narrower student end-to-end through the
+    CLI; the saved checkpoint loads against the NARROW template and the
+    flag is rejected without --skip_progressive."""
+    from s1s2.cli import distill as cli_distill
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.models import UNetSmall
+    from s1s2.train.checkpoint import load_any_checkpoint, save_model
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=0)
+    model = UNetSmall(out_ch=4, base_ch=4, compute_dtype=jnp.float32)
+    teacher_path = str(tmp_path / "teacher.msgpack")
+    save_model(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"], teacher_path)
+
+    student_path = str(tmp_path / "student.msgpack")
+    args = [
+        "--patch_dir", patches, "--teacher", teacher_path,
+        "--model_path", student_path, "--T", "50", "--t_start", "25",
+        "--batch_size", "2", "--base_ch", "4", "--student_base_ch", "2",
+        "--compute_dtype", "float32", "--skip_progressive",
+        "--endpoint_epochs", "1", "--endpoint_seeds", "1",
+        "--endpoint_teacher_steps", "2",
+    ]
+    cli_distill.main(args)
+    narrow = UNetSmall(out_ch=4, base_ch=2, compute_dtype=jnp.float32)
+    template = narrow.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"]
+    params = load_any_checkpoint(student_path, template=template)
+    assert np.isfinite(
+        float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.abs(x).sum(), params, jnp.float32(0.0))))
+
+    # width change requires endpoint-only mode
+    bad = [a for a in args if a != "--skip_progressive"]
+    with pytest.raises(SystemExit):
+        cli_distill.main(bad)
