@@ -16,16 +16,19 @@ Prints JSON lines (driver parses the LAST):
      0.49813, tools/bench_int8.py), runs on the v5e's 2× int8 MXU mode.
      B=64 is the int8 sweet spot (bench_int8 sweep: 32→15.1, 64→15.2,
      128→12.3).
-  4. HEADLINE (last): 1-step endpoint-distilled student + int8, at
-     ddim-20-matched reconstruction quality. SELF-VERIFYING: when the
-     committed student checkpoint (examples/checkpoints/) is present, this
-     process loads it, regenerates the deterministic 32-file synthetic
-     evidence set, scores ddim-1+int8 (expect MAE ≈ 0.365 vs teacher
-     ddim-20 0.441 — evidence rows in
-     examples/results_synthetic/distill_evidence.jsonl), and times
+  4. 1-step endpoint-distilled student + int8, at ddim-20-matched
+     reconstruction quality. SELF-VERIFYING: when the committed student
+     checkpoint (examples/checkpoints/) is present, this process loads it,
+     regenerates the deterministic 32-file synthetic evidence set, scores
+     ddim-1+int8 (expect MAE ≈ 0.365 vs teacher ddim-20 0.441 — evidence
+     rows in examples/results_synthetic/distill_evidence.jsonl), and times
      throughput with the same quantized weights → the JSON line carries
      quality_checked/verified_mae from its own run. Batch sweep in
      tools/bench_distill_throughput.py (32→732, 64→745, 128→604).
+  5. HEADLINE (last): WIDTH-distilled base-64 1-step student + int8 —
+     2.25× fewer FLOPs at the SAME quality (int8 MAE 0.348 beats both the
+     base-96 student and the teacher anchor; BENCH_NOTES.md "Width
+     distillation"). Same self-verifying protocol as line 4.
 """
 
 import json
@@ -195,6 +198,46 @@ def main() -> None:
 
     _report("patches_per_sec_per_chip_distill1_int8_at_ddim20_quality_256px",
             timed(run_distill1, cond, gt, 30), **extra)
+
+    # ---- 5. HEADLINE (last line): WIDTH-distilled base-64 1-step + int8 ----
+    # Same self-verifying protocol as line 4 on the width-distilled student
+    # (distill --student_base_ch 64, trained against the base-96 student's
+    # 1-step map — BENCH_NOTES.md "Width distillation"). Emitted only when
+    # the committed checkpoint is present so the last line always carries
+    # an in-process quality check.
+    ckpt64 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "checkpoints",
+                          "distill_eps_student64.bf16.msgpack")
+    if os.path.exists(ckpt64) and os.path.exists(ckpt):
+        model64 = UNetSmall(out_ch=CT, base_ch=64,
+                            compute_dtype=jnp.bfloat16)
+        tmpl64 = model64.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
+            jnp.zeros((1,), jnp.int32))["params"]
+        student64 = load_params(ckpt64, template=tmpl64)
+        qp64 = quantize_unet(student64, calib_s)
+        pred64 = ddim_anchored(make_quant_denoise_fn(qp64, ev_cond),
+                               ev_gt, ev_key, schedule, 200, 1,
+                               noise=ev_noise)
+        mae64 = float(masked_mae(pred64, ev_gt, ev_mask))
+
+        @jax.jit
+        def run_w64(cond, gt, key):
+            fn = make_quant_denoise_fn(qp64, cond)
+            return ddim_anchored(fn, gt, key, schedule, 200, 1)
+
+        _report(
+            "patches_per_sec_per_chip_distill1_w64_int8_at_ddim20_quality"
+            "_256px",
+            timed(run_w64, cond, gt, 30),
+            config="width-distilled base-64 1-step student, int8 "
+                   "(7.7M params; BENCH_NOTES.md 'Width distillation')",
+            quality_checked=bool(mae64 <= teacher_anchor * 0.95
+                                 and abs(mae64 - 0.34812) < 0.02),
+            verified_mae=round(mae64, 5),
+            weights="committed examples/checkpoints/"
+                    "distill_eps_student64.bf16.msgpack, scored in-process "
+                    "vs teacher ddim-20 anchor 0.44074")
 
 
 if __name__ == "__main__":

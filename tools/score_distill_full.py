@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--student_steps", type=int, default=1,
                     help="student DDIM budget (2 for the progressive-only "
                     "2-step SAM experiment, BENCH_NOTES 'Step distillation')")
+    ap.add_argument("--student_base_ch", type=int, default=96,
+                    help="student UNet width (width-distilled students, "
+                    "distill --student_base_ch)")
     ap.add_argument("--out", default=None, help="write rows to this JSONL")
     args = ap.parse_args()
 
@@ -64,14 +67,22 @@ def main():
     gt = jnp.asarray(np.stack(gts))
     mask = jnp.asarray(np.stack(masks))
 
-    tmpl = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1,) + gt.shape[1:3] + (8,),
-                                         jnp.float32),
-        jnp.zeros((1,), jnp.int32))["params"]
+    s_model = (model if args.student_base_ch == 96 else
+               UNetSmall(out_ch=4, base_ch=args.student_base_ch,
+                         compute_dtype=jnp.bfloat16))
+
+    def make_tmpl(m):
+        return m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + gt.shape[1:3] + (8,),
+                                             jnp.float32),
+            jnp.zeros((1,), jnp.int32))["params"]
+
+    tmpl = make_tmpl(model)
     teacher = load_params(os.path.join(args.workdir, args.teacher),
                           template=tmpl)
-    student = load_params(os.path.join(args.workdir, args.student),
-                          template=tmpl)
+    student = load_params(
+        os.path.join(args.workdir, args.student),
+        template=tmpl if s_model is model else make_tmpl(s_model))
 
     key = jax.random.PRNGKey(1234)
     noise = jax.random.normal(key, gt.shape)
@@ -93,8 +104,9 @@ def main():
                           for k, v in row.items()}), flush=True)
         return row
 
-    def run(params, steps, param="eps"):
-        fn = make_denoise_fn(model.apply, {"params": params}, cond)
+    def run(params, steps, param="eps", apply_fn=None):
+        fn = make_denoise_fn(apply_fn or model.apply, {"params": params},
+                             cond)
         if param == "eps":
             return ddim_anchored(fn, gt, key, schedule, args.t_start, steps,
                                  noise=noise)
@@ -115,7 +127,8 @@ def main():
     t20 = score("teacher_ddim20", run(teacher, 20, args.param))
     score("teacher_ddim1", run(teacher, 1, args.param))
     n_s = args.student_steps
-    s1 = score(f"student_ep_ddim{n_s}", run(student, n_s))
+    s1 = score(f"student_ep_ddim{n_s}",
+               run(student, n_s, apply_fn=s_model.apply))
 
     if args.int8:
         from s1s2.core.parametrize import q_sample
