@@ -25,10 +25,13 @@ Prints JSON lines (driver parses the LAST):
      throughput with the same quantized weights → the JSON line carries
      quality_checked/verified_mae from its own run. Batch sweep in
      tools/bench_distill_throughput.py (32→732, 64→745, 128→604).
-  5. HEADLINE (last): WIDTH-distilled base-64 1-step student + int8 —
-     2.25× fewer FLOPs at the SAME quality (int8 MAE 0.348 beats both the
-     base-96 student and the teacher anchor; BENCH_NOTES.md "Width
-     distillation"). Same self-verifying protocol as line 4.
+  5. WIDTH-distilled base-64 1-step student + int8 — 2.25× fewer FLOPs at
+     the SAME quality (int8 MAE 0.348 beats both the base-96 student and
+     the teacher anchor; BENCH_NOTES.md "Width distillation"). Same
+     self-verifying protocol as line 4.
+  6. HEADLINE (last): WIDTH-distilled base-48 1-step student + int8 at
+     B=128 — 4× fewer FLOPs than base 96, quality still holds (int8 MAE
+     0.350). Same self-verifying protocol.
 """
 
 import json
@@ -237,6 +240,47 @@ def main() -> None:
             verified_mae=round(mae64, 5),
             weights="committed examples/checkpoints/"
                     "distill_eps_student64.bf16.msgpack, scored in-process "
+                    "vs teacher ddim-20 anchor 0.44074")
+
+    # ---- 6. HEADLINE (last line): WIDTH-distilled base-48 1-step + int8 ----
+    # One more width rung (distill --student_base_ch 48, 1200 endpoint
+    # epochs on the same base-96 student map): quality still holds at 4x
+    # fewer FLOPs than base 96 (int8 MAE 0.350 vs anchor 0.441 — evidence
+    # examples/results_synthetic/distill_width48_metrics.jsonl). B=128 is
+    # this width's measured sweet spot (BENCH_NOTES.md "Width scaling").
+    ckpt48 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "checkpoints",
+                          "distill_eps_student48.bf16.msgpack")
+    if os.path.exists(ckpt48) and os.path.exists(ckpt):
+        model48 = UNetSmall(out_ch=CT, base_ch=48,
+                            compute_dtype=jnp.bfloat16)
+        tmpl48 = model48.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
+            jnp.zeros((1,), jnp.int32))["params"]
+        student48 = load_params(ckpt48, template=tmpl48)
+        qp48 = quantize_unet(student48, calib_s)
+        pred48 = ddim_anchored(make_quant_denoise_fn(qp48, ev_cond),
+                               ev_gt, ev_key, schedule, 200, 1,
+                               noise=ev_noise)
+        mae48 = float(masked_mae(pred48, ev_gt, ev_mask))
+
+        @jax.jit
+        def run_w48(cond, gt, key):
+            fn = make_quant_denoise_fn(qp48, cond)
+            return ddim_anchored(fn, gt, key, schedule, 200, 1)
+
+        cond128, gt128 = data(128, 7)
+        _report(
+            "patches_per_sec_per_chip_distill1_w48_int8_at_ddim20_quality"
+            "_256px",
+            timed(run_w48, cond128, gt128, 30),
+            config="width-distilled base-48 1-step student, int8, B=128 "
+                   "(4.3M params; BENCH_NOTES.md 'Width distillation')",
+            quality_checked=bool(mae48 <= teacher_anchor * 0.95
+                                 and abs(mae48 - 0.35026) < 0.02),
+            verified_mae=round(mae48, 5),
+            weights="committed examples/checkpoints/"
+                    "distill_eps_student48.bf16.msgpack, scored in-process "
                     "vs teacher ddim-20 anchor 0.44074")
 
 
