@@ -25,13 +25,13 @@ Prints JSON lines (driver parses the LAST):
      throughput with the same quantized weights → the JSON line carries
      quality_checked/verified_mae from its own run. Batch sweep in
      tools/bench_distill_throughput.py (32→732, 64→745, 128→604).
-  5. WIDTH-distilled base-64 1-step student + int8 — 2.25× fewer FLOPs at
-     the SAME quality (int8 MAE 0.348 beats both the base-96 student and
-     the teacher anchor; BENCH_NOTES.md "Width distillation"). Same
-     self-verifying protocol as line 4.
-  6. HEADLINE (last): WIDTH-distilled base-48 1-step student + int8 at
-     B=128 — 4× fewer FLOPs than base 96, quality still holds (int8 MAE
-     0.350). Same self-verifying protocol.
+  5-7. WIDTH-distilled students (base 64/48/32) + int8, one line per
+     committed rung, narrowest LAST = HEADLINE: base-32 (1.9M params, 9×
+     fewer FLOPs than base 96) at B=128 — int8 MAE 0.341 BEATS every wider
+     student and the teacher anchor, on the evidence set AND a held-out
+     set (examples/results_synthetic/distill_width_holdout.jsonl;
+     BENCH_NOTES.md "Width distillation"). Same self-verifying protocol
+     as line 4.
 """
 
 import json
@@ -202,86 +202,54 @@ def main() -> None:
     _report("patches_per_sec_per_chip_distill1_int8_at_ddim20_quality_256px",
             timed(run_distill1, cond, gt, 30), **extra)
 
-    # ---- 5. HEADLINE (last line): WIDTH-distilled base-64 1-step + int8 ----
-    # Same self-verifying protocol as line 4 on the width-distilled student
-    # (distill --student_base_ch 64, trained against the base-96 student's
-    # 1-step map — BENCH_NOTES.md "Width distillation"). Emitted only when
-    # the committed checkpoint is present so the last line always carries
-    # an in-process quality check.
-    ckpt64 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "examples", "checkpoints",
-                          "distill_eps_student64.bf16.msgpack")
-    if os.path.exists(ckpt64) and os.path.exists(ckpt):
-        model64 = UNetSmall(out_ch=CT, base_ch=64,
+    # ---- 5-7. WIDTH-distilled students (base 64/48/32) + int8 ----
+    # Same self-verifying protocol as line 4, one line per committed width
+    # rung (distill --student_base_ch N, trained against the base-96
+    # student's 1-step map — BENCH_NOTES.md "Width distillation"; held-out
+    # generalization table in distill_width_holdout.jsonl). Narrowest
+    # (base 32) LAST = the headline. Per-width batch = the measured sweet
+    # spot (B=64 at width 48/32 hits a reproducibly bad XLA tiling).
+    WIDTHS = [  # (base_ch, batch, expected int8 MAE, params)
+        (64, 64, 0.34812, "7.7M"),
+        (48, 128, 0.35026, "4.3M"),
+        (32, 128, 0.34052, "1.9M"),
+    ]
+    for wch, wb, expect_mae, params_s in WIDTHS:
+        ckpt_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "examples", "checkpoints",
+                              f"distill_eps_student{wch}.bf16.msgpack")
+        if not (os.path.exists(ckpt_w) and os.path.exists(ckpt)):
+            continue
+        model_w = UNetSmall(out_ch=CT, base_ch=wch,
                             compute_dtype=jnp.bfloat16)
-        tmpl64 = model64.init(
+        tmpl_w = model_w.init(
             jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
             jnp.zeros((1,), jnp.int32))["params"]
-        student64 = load_params(ckpt64, template=tmpl64)
-        qp64 = quantize_unet(student64, calib_s)
-        pred64 = ddim_anchored(make_quant_denoise_fn(qp64, ev_cond),
+        qp_w = quantize_unet(load_params(ckpt_w, template=tmpl_w), calib_s)
+        pred_w = ddim_anchored(make_quant_denoise_fn(qp_w, ev_cond),
                                ev_gt, ev_key, schedule, 200, 1,
                                noise=ev_noise)
-        mae64 = float(masked_mae(pred64, ev_gt, ev_mask))
+        mae_w = float(masked_mae(pred_w, ev_gt, ev_mask))
 
         @jax.jit
-        def run_w64(cond, gt, key):
-            fn = make_quant_denoise_fn(qp64, cond)
+        def run_w(cond, gt, key, _qp=qp_w):
+            fn = make_quant_denoise_fn(_qp, cond)
             return ddim_anchored(fn, gt, key, schedule, 200, 1)
 
+        cond_w, gt_w = data(wb, 7)
         _report(
-            "patches_per_sec_per_chip_distill1_w64_int8_at_ddim20_quality"
-            "_256px",
-            timed(run_w64, cond, gt, 30),
-            config="width-distilled base-64 1-step student, int8 "
-                   "(7.7M params; BENCH_NOTES.md 'Width distillation')",
-            quality_checked=bool(mae64 <= teacher_anchor * 0.95
-                                 and abs(mae64 - 0.34812) < 0.02),
-            verified_mae=round(mae64, 5),
-            weights="committed examples/checkpoints/"
-                    "distill_eps_student64.bf16.msgpack, scored in-process "
-                    "vs teacher ddim-20 anchor 0.44074")
-
-    # ---- 6. HEADLINE (last line): WIDTH-distilled base-48 1-step + int8 ----
-    # One more width rung (distill --student_base_ch 48, 1200 endpoint
-    # epochs on the same base-96 student map): quality still holds at 4x
-    # fewer FLOPs than base 96 (int8 MAE 0.350 vs anchor 0.441 — evidence
-    # examples/results_synthetic/distill_width48_metrics.jsonl). B=128 is
-    # this width's measured sweet spot (BENCH_NOTES.md "Width scaling").
-    ckpt48 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "examples", "checkpoints",
-                          "distill_eps_student48.bf16.msgpack")
-    if os.path.exists(ckpt48) and os.path.exists(ckpt):
-        model48 = UNetSmall(out_ch=CT, base_ch=48,
-                            compute_dtype=jnp.bfloat16)
-        tmpl48 = model48.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
-            jnp.zeros((1,), jnp.int32))["params"]
-        student48 = load_params(ckpt48, template=tmpl48)
-        qp48 = quantize_unet(student48, calib_s)
-        pred48 = ddim_anchored(make_quant_denoise_fn(qp48, ev_cond),
-                               ev_gt, ev_key, schedule, 200, 1,
-                               noise=ev_noise)
-        mae48 = float(masked_mae(pred48, ev_gt, ev_mask))
-
-        @jax.jit
-        def run_w48(cond, gt, key):
-            fn = make_quant_denoise_fn(qp48, cond)
-            return ddim_anchored(fn, gt, key, schedule, 200, 1)
-
-        cond128, gt128 = data(128, 7)
-        _report(
-            "patches_per_sec_per_chip_distill1_w48_int8_at_ddim20_quality"
-            "_256px",
-            timed(run_w48, cond128, gt128, 30),
-            config="width-distilled base-48 1-step student, int8, B=128 "
-                   "(4.3M params; BENCH_NOTES.md 'Width distillation')",
-            quality_checked=bool(mae48 <= teacher_anchor * 0.95
-                                 and abs(mae48 - 0.35026) < 0.02),
-            verified_mae=round(mae48, 5),
-            weights="committed examples/checkpoints/"
-                    "distill_eps_student48.bf16.msgpack, scored in-process "
-                    "vs teacher ddim-20 anchor 0.44074")
+            f"patches_per_sec_per_chip_distill1_w{wch}_int8_at_ddim20"
+            "_quality_256px",
+            timed(run_w, cond_w, gt_w, 30),
+            config=f"width-distilled base-{wch} 1-step student, int8, "
+                   f"B={wb} ({params_s} params; BENCH_NOTES.md 'Width "
+                   "distillation')",
+            quality_checked=bool(mae_w <= teacher_anchor * 0.95
+                                 and abs(mae_w - expect_mae) < 0.02),
+            verified_mae=round(mae_w, 5),
+            weights=f"committed examples/checkpoints/distill_eps_student"
+                    f"{wch}.bf16.msgpack, scored in-process vs teacher "
+                    "ddim-20 anchor 0.44074")
 
 
 if __name__ == "__main__":
