@@ -13,16 +13,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _cubic_weights(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution kernel with torch's a=-0.75 (Keys 1981; the value
+    PyTorch hard-codes for ``mode='bicubic'`` — jax.image uses a=-0.5,
+    which is why this module carries its own resize)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+        np.where(ax < 2.0, a * (ax**3 - 5.0 * ax**2 + 8.0 * ax - 4.0), 0.0),
+    )
+
+
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix reproducing torch
+    ``F.interpolate(mode='bicubic', align_corners=False)``: source
+    coordinate (d+0.5)·(n_in/n_out)−0.5, 4 clamped taps (replicate
+    border), no antialias widening on downscale."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    mat = np.zeros((n_out, n_in), np.float32)
+    for k in range(-1, 3):
+        idx = np.clip(i0 + k, 0, n_in - 1)
+        w = _cubic_weights(src - (i0 + k)).astype(np.float32)
+        np.add.at(mat, (np.arange(n_out), idx), w)
+    return mat
+
+
+def _bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Separable torch-exact bicubic resize of NHWC ``x``."""
+    mh = jnp.asarray(_bicubic_matrix(x.shape[1], out_h))
+    mw = jnp.asarray(_bicubic_matrix(x.shape[2], out_w))
+    x = jnp.einsum("hj,bjwc->bhwc", mh, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("wk,bhkc->bhwc", mw, x,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def baseline_bicubic(x_gt: jnp.ndarray, scale_factor: int = 4) -> jnp.ndarray:
     """SISR sanity baseline: bicubic down ×scale then back up, on GT itself
-    (`Evaluation_Pure_Generation.py:348-354`). Uses jax.image cubic resize
-    (kernel differs slightly from torch's bicubic; it is a baseline, not a
-    parity surface)."""
+    (`Evaluation_Pure_Generation.py:348-354`). Torch-exact kernel (a=-0.75,
+    half-pixel mapping, clamped taps) so the table is a certified parity
+    surface (tools/ref_crossval.py baselines section)."""
     B, H, W, C = x_gt.shape
-    lr = jax.image.resize(
-        x_gt, (B, H // scale_factor, W // scale_factor, C), method="cubic"
-    )
-    sr = jax.image.resize(lr, (B, H, W, C), method="cubic")
+    lr = _bicubic_resize(x_gt, H // scale_factor, W // scale_factor)
+    sr = _bicubic_resize(lr, H, W)
     return jnp.clip(sr, 0.0, 1.0)
 
 

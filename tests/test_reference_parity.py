@@ -185,3 +185,26 @@ class TestEndToEndParity:
                        jnp.asarray(mask))
         )
         assert got_mae == pytest.approx(ref_mae, rel=1e-4)
+
+
+class TestBaselineBicubicParity:
+    """baseline_bicubic is torch-exact (a=-0.75 kernel, half-pixel mapping,
+    clamped taps — `Evaluation_Pure_Generation.py:348-354`), making the
+    classical-baseline tables a certified parity surface."""
+
+    @pytest.mark.parametrize("shape", [(32, 32), (64, 48)])
+    def test_matches_torch_interpolate(self, shape):
+        import torch.nn.functional as F
+
+        from s1s2.eval.baselines import baseline_bicubic
+
+        H, W = shape
+        x = np.random.default_rng(3).random((2, H, W, 4)).astype(np.float32)
+        got = np.asarray(baseline_bicubic(jnp.asarray(x)))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        lr = F.interpolate(xt, scale_factor=0.25, mode="bicubic",
+                           align_corners=False, recompute_scale_factor=True)
+        sr = F.interpolate(lr, size=(H, W), mode="bicubic",
+                           align_corners=False)
+        ref = torch.clamp(sr, 0, 1).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, atol=2e-6)

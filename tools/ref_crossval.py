@@ -10,8 +10,11 @@ agrees": this driver
      `Train_v_Prediction.py:277-444`) on CPU torch,
   3. runs the unmodified reference eval scripts
      (`Evaluation/DDIM_Multi-step.py:173-393`,
-     `Evaluation/DDIM_Multi-step_v_Prediction.py` ddim/vdiag) on them —
-     wrapped only by a global ``torch.manual_seed`` so their
+     `Evaluation/DDIM_Multi-step_v_Prediction.py` ddim/vdiag,
+     `Evaluation_Updated/Evaluation_Pure_Generation.py` true_infer +
+     baseline_bicubic/linear, `Evaluation/Comparison_Original.py` tsweep,
+     `Evaluation/DDIM_Sweep.py` ddim_sweep — five reference scripts) on
+     them — wrapped only by a global ``torch.manual_seed`` so their
      stream-consuming noise draws are reproducible,
   4. replays the exact same torch RNG streams into the s1s2 harness via
      ``evaluate --noise_npz`` (keys ``s{salt}_i{index}``), running every
@@ -26,7 +29,13 @@ Noise-stream replication map (torch global stream seeded GLOBAL_SEED):
   seed_stats — torch.manual_seed(seed_base+s) before each draw, so the
   SAME noise for every file at seed s (`DDIM_Multi-step.py:156-157,273`);
   ablate — torch.manual_seed(seed_base) per file → one shared base noise
-  (`DDIM_Multi-step.py:360-361`).
+  (`DDIM_Multi-step.py:360-361`);
+  true_infer — re-seeded seed_base+s per (file, seed) → per-seed shared
+  init (`Evaluation_Pure_Generation.py:550`, salt 5000+s);
+  tsweep — manual_seed(seed_base) per file → one shared noise
+  (`Comparison_Original.py:420-421`, salt 99);
+  ddim_sweep — manual_seed(seed_base+i) per FILE, shared across grid
+  configs (`DDIM_Sweep.py:404`, separate npz at salt 0).
 
 Usage:
     python tools/ref_crossval.py --workdir /tmp/crossval \
@@ -53,7 +62,9 @@ GLOBAL_SEED = 777
 # XLA convolutions differ in reduction order; deviations accumulate over the
 # 20-step sampler. Calibrated from observed runs (report the measured max).
 TOLS = {"PSNR": 5e-2, "cosine": 5e-4, "eps_MSE": 5e-4, "v_MSE": 5e-4,
-        "v_cos": 5e-4, "eps_cos": 5e-4}
+        "v_cos": 5e-4, "eps_cos": 5e-4,
+        # SAM CSV quantum 1e-4 rad; ERGAS quantum 0.01 at O(100) magnitude
+        "SAM_mean": 2e-3, "SAM(rad)": 2e-3, "ERGAS_mean": 0.05, "ERGAS": 0.05}
 DEFAULT_TOL = 5e-4
 
 
@@ -103,10 +114,30 @@ def build_noise_npz(path, n_files, H, W, Ct, n_seeds, seed_base):
         z = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
         for i in range(n_files):
             out[f"s{1000 + s}_i{i}"] = z
+        # true_infer re-seeds identically per (file, seed)
+        # (`Evaluation_Pure_Generation.py:550`) → same init for every file;
+        # s1s2's run_true_infer reads salt 5000+s
+        for i in range(n_files):
+            out[f"s{5000 + s}_i{i}"] = z
     torch.manual_seed(seed_base)
     out["s99_i0"] = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
     import numpy as np
 
+    np.savez(path, **out)
+    return path
+
+
+def build_sweep_noise_npz(path, n_files, H, W, Ct, seed_base):
+    """DDIM_Sweep fixes per-file noise by ``torch.manual_seed(seed_base+i)``
+    before each file's anchored init draw (`Evaluation/DDIM_Sweep.py:404`);
+    s1s2's run_ddim_sweep reads the default salt 0."""
+    import numpy as np
+    import torch
+
+    out = {}
+    for i in range(n_files):
+        torch.manual_seed(seed_base + i)
+        out[f"s0_i{i}"] = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
     np.savez(path, **out)
     return path
 
@@ -184,8 +215,17 @@ def main(argv=None):
     ap.add_argument("--seed_base", type=int, default=1234)
     ap.add_argument("--t_start", type=int, default=200)
     ap.add_argument("--ddim_steps", type=int, default=20)
-    ap.add_argument("--families", nargs="*", default=["eps", "v"],
-                    choices=["eps", "v"])
+    ap.add_argument("--families", nargs="*",
+                    default=["eps", "v", "pure", "sweep"],
+                    choices=["eps", "v", "pure", "sweep"],
+                    help="eps/v: DDIM_Multi-step(+_v) tables; pure: "
+                         "Evaluation_Pure_Generation true_infer + classical "
+                         "baselines + Comparison_Original tsweep; sweep: "
+                         "DDIM_Sweep grid (pure/sweep reuse the eps ckpt)")
+    ap.add_argument("--ti_steps", type=int, default=10,
+                    help="true_infer DDIM steps (pure section)")
+    ap.add_argument("--ti_seeds", type=int, default=3,
+                    help="true_infer seeds per file (pure section)")
     ap.add_argument("--keep_artifacts", default=None,
                     help="copy .pth + CSVs + report into this dir (commit)")
     ap.add_argument("--reuse", action="store_true",
@@ -224,10 +264,9 @@ def main(argv=None):
               "global_seed": GLOBAL_SEED, "tables": {}}
     tables = report["tables"]
 
-    # ---------------- ε family ----------------
-    if "eps" in args.families:
+    def ensure_eps_ckpt():
         ckpt = os.path.join(wd, "ref_eps", "model.pth")
-        if not (args.reuse and os.path.exists(ckpt)):
+        if not os.path.exists(ckpt):
             os.makedirs(os.path.dirname(ckpt), exist_ok=True)
             log(f"training reference ε model ({args.epochs} epochs, torch CPU)…")
             run_ref_script(
@@ -236,6 +275,11 @@ def main(argv=None):
                  "--epochs", args.epochs, "--base_ch", args.base_ch,
                  "--batch_size", "4"],
                 log_path=os.path.join(wd, "train_eps.log"))
+        return ckpt
+
+    # ---------------- ε family ----------------
+    if "eps" in args.families:
+        ckpt = ensure_eps_ckpt()
         eps_tables = {
             "ddim": ["ddim_metrics.csv"],
             "eps": ["eps_diag.csv"],
@@ -319,6 +363,132 @@ def main(argv=None):
                     + ("PASS" if e["pass"] else "FAIL")
                     + " " + json.dumps({c: round(v["max_dev"], 8)
                                         for c, v in e.get("cols", {}).items()}))
+
+    # ------- pure-generation script: true_infer + baselines + tsweep -------
+    # (Evaluation_Updated/Evaluation_Pure_Generation.py:536-573,729-773 and
+    #  Evaluation/Comparison_Original.py:410-446 — two more reference
+    #  scripts certified, on the ε checkpoint)
+    if "pure" in args.families:
+        ckpt = ensure_eps_ckpt()
+        pure_script = os.path.join(REF_DIR, "Evaluation_Updated",
+                                   "Evaluation_Pure_Generation.py")
+
+        # true_infer: per-seed re-seeded full-noise DDIM generation
+        ref_out = os.path.join(wd, "ref_eval_pure", "true_infer")
+        if not (args.reuse and os.path.exists(
+                os.path.join(ref_out, "ddim_true_infer_metrics.csv"))):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (pure) mode=ddim --true_infer…")
+            run_ref_script(pure_script, [
+                "--mode", "ddim", "--true_infer", "--patch_dir", patches,
+                "--ckpt", ckpt, "--out_dir", ref_out,
+                "--base_ch", args.base_ch, "--t_start", args.t_start,
+                "--ddim_steps", args.ti_steps, "--n_seeds", args.ti_seeds,
+                "--seed_base", args.seed_base, "--save_viz_n", "0",
+            ], log_path=os.path.join(ref_out, "run.log"))
+        got_out = os.path.join(wd, "s1s2_eval_pure", "true_infer")
+        log("s1s2 eval (pure) mode=true_infer…")
+        run_s1s2_eval("true_infer", patches, ckpt, got_out, args.base_ch,
+                      noise_npz, param="eps", n_seeds=args.ti_seeds,
+                      extra=("--t_start", str(args.t_start),
+                             "--ddim_steps", str(args.ti_steps),
+                             "--seed_base", str(args.seed_base)))
+        e = diff_csv(os.path.join(ref_out, "ddim_true_infer_metrics.csv"),
+                     os.path.join(got_out, "ddim_true_infer_metrics.csv"),
+                     tables, "pure/true_infer/ddim_true_infer_metrics.csv")
+        log("  ddim_true_infer_metrics.csv: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
+
+        # classical baselines (deterministic; bicubic is torch-exact since
+        # s1s2/eval/baselines.py carries the a=-0.75 kernel)
+        for kind in ("bicubic", "linear"):
+            ref_out = os.path.join(wd, "ref_eval_pure", f"baseline_{kind}")
+            if not (args.reuse and os.path.exists(
+                    os.path.join(ref_out, f"baseline_{kind}.csv"))):
+                os.makedirs(ref_out, exist_ok=True)
+                log(f"reference eval (pure) mode=baseline_{kind}…")
+                run_ref_script(pure_script, [
+                    "--mode", f"baseline_{kind}", "--patch_dir", patches,
+                    "--ckpt", ckpt, "--out_dir", ref_out,
+                    "--base_ch", args.base_ch, "--save_viz_n", "0",
+                ], log_path=os.path.join(ref_out, "run.log"))
+            got_out = os.path.join(wd, "s1s2_eval_pure", f"baseline_{kind}")
+            log(f"s1s2 eval (pure) mode=baseline_{kind}…")
+            run_s1s2_eval(f"baseline_{kind}", patches, ckpt, got_out,
+                          args.base_ch, noise_npz, param="eps")
+            e = diff_csv(
+                os.path.join(ref_out, f"baseline_{kind}.csv"),
+                os.path.join(got_out, f"baseline_{kind}_metrics.csv"),
+                tables, f"pure/baseline_{kind}/baseline_{kind}.csv")
+            log(f"  baseline_{kind}.csv: "
+                + ("PASS" if e["pass"] else "FAIL")
+                + " " + json.dumps({c: round(v["max_dev"], 8)
+                                    for c, v in e.get("cols", {}).items()}))
+
+        # tsweep from Comparison_Original.py (fixed shared noise, salt 99)
+        comp_script = os.path.join(REF_DIR, "Evaluation",
+                                   "Comparison_Original.py")
+        t_values = ["5", "20", "80"]
+        ref_out = os.path.join(wd, "ref_eval_pure", "tsweep")
+        if not (args.reuse and os.path.exists(
+                os.path.join(ref_out, "tsweep.csv"))):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (pure) mode=tsweep (Comparison_Original)…")
+            run_ref_script(comp_script, [
+                "--mode", "tsweep", "--patch_dir", patches, "--ckpt", ckpt,
+                "--out_dir", ref_out, "--base_ch", args.base_ch,
+                "--t_values", *t_values, "--seed_base", args.seed_base,
+                "--save_viz_n", "0",
+            ], log_path=os.path.join(ref_out, "run.log"))
+        got_out = os.path.join(wd, "s1s2_eval_pure", "tsweep")
+        log("s1s2 eval (pure) mode=tsweep…")
+        run_s1s2_eval("tsweep", patches, ckpt, got_out, args.base_ch,
+                      noise_npz, param="eps",
+                      extra=("--t_values", *t_values,
+                             "--seed_base", str(args.seed_base)))
+        e = diff_csv(os.path.join(ref_out, "tsweep.csv"),
+                     os.path.join(got_out, "tsweep.csv"),
+                     tables, "pure/tsweep/tsweep.csv")
+        log("  tsweep.csv: " + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
+
+    # ------- DDIM_Sweep grid (per-file seeded anchored noise) -------
+    if "sweep" in args.families:
+        ckpt = ensure_eps_ckpt()
+        sweep_noise = build_sweep_noise_npz(
+            os.path.join(wd, "sweep_noise.npz"), n_files, H, W, Ct,
+            args.seed_base)
+        grids = ("300,200", "5,10")
+        ref_out = os.path.join(wd, "ref_eval_sweep", "ddim_sweep")
+        if not (args.reuse and os.path.exists(
+                os.path.join(ref_out, "ddim_sweep_summary.csv"))):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (sweep) mode=ddim_sweep…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation", "DDIM_Sweep.py"), [
+                    "--mode", "ddim_sweep", "--patch_dir", patches,
+                    "--ckpt", ckpt, "--out_dir", ref_out,
+                    "--base_ch", args.base_ch,
+                    "--t_start_grid", grids[0], "--ddim_steps_grid", grids[1],
+                    "--seed_base", args.seed_base, "--save_viz_n", "0",
+                ], log_path=os.path.join(ref_out, "run.log"))
+        got_out = os.path.join(wd, "s1s2_eval_sweep", "ddim_sweep")
+        log("s1s2 eval (sweep) mode=ddim_sweep…")
+        run_s1s2_eval("ddim_sweep", patches, ckpt, got_out, args.base_ch,
+                      sweep_noise, param="eps",
+                      extra=("--t_start_grid", grids[0],
+                             "--ddim_steps_grid", grids[1],
+                             "--seed_base", str(args.seed_base)))
+        e = diff_csv(os.path.join(ref_out, "ddim_sweep_summary.csv"),
+                     os.path.join(got_out, "ddim_sweep_summary.csv"),
+                     tables, "sweep/ddim_sweep/ddim_sweep_summary.csv")
+        log("  ddim_sweep_summary.csv: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
 
     report["pass"] = all(t["pass"] for t in tables.values())
     report["tables_pass"] = sum(t["pass"] for t in tables.values())
