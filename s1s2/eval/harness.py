@@ -74,6 +74,10 @@ from s1s2.viz import render as V
 # streams live at ETA_SALT(+seed) so stochastic-DDIM draws never collide
 # with init draws and stay per-file deterministic across batch compositions.
 ETA_SALT = 7000
+# limitation-mode full-range init draws / partial-reverse forward noise
+# (`Evaluation/Limitation_Test.py:231,260`); PARTIAL_SALT is offset by k
+LIMITATION_SALT = 300
+PARTIAL_SALT = 310
 
 
 # ---------------------------------------------------------------------------
@@ -933,9 +937,11 @@ def run_limitation(ctx: EvalContext) -> Dict:
     pix_tot = 0.0
 
     if cfg.limitation_sampler == "ddpm":
+        # ancestral per-step draws are jax-keyed only: a torch stream replay
+        # would need all T per-step tensors (`Limitation_Test.py:209-221`)
 
         @jax.jit
-        def sample(cond, key):
+        def sample(cond, x_init, key):
             fn = ctx.denoise_fn(cond)
             return ddpm_ancestral(
                 fn, cond.shape[:3] + (ctx.Ct,), key, ctx.schedule, ctx.param
@@ -946,11 +952,8 @@ def run_limitation(ctx: EvalContext) -> Dict:
             grid = full_range_grid(cfg.T, cfg.ddim_steps)
 
             @jax.jit
-            def sample(cond, key):
+            def sample(cond, x_init, key):
                 fn = ctx.denoise_fn(cond)
-                x_init = jax.random.normal(
-                    key, cond.shape[:3] + (ctx.Ct,), jnp.float32
-                )
                 return ddim_grid_sample(
                     fn, x_init, key, ctx.schedule, grid, Parameterization.EPS
                 )
@@ -965,15 +968,11 @@ def run_limitation(ctx: EvalContext) -> Dict:
             scale = float(np.sqrt(1.0 - ctx.schedule.alpha_bar_np()[K]))
 
             @jax.jit
-            def sample(cond, key):
+            def sample(cond, x_init, key):
                 fn = ctx.denoise_fn(cond)
-                x_init = (
-                    jax.random.normal(key, cond.shape[:3] + (ctx.Ct,), jnp.float32)
-                    * scale
-                )
                 return ddim_grid_sample(
-                    fn, x_init, key, ctx.schedule, grid, Parameterization.V,
-                    eta=cfg.eta,
+                    fn, x_init * scale, key, ctx.schedule, grid,
+                    Parameterization.V, eta=cfg.eta,
                 )
 
     # dataset-fixed viz ranges (`Limitation_Test_v_Prediction.py:160-180`)
@@ -990,14 +989,17 @@ def run_limitation(ctx: EvalContext) -> Dict:
     for bi, ((cond, gt, mask), names, n_valid) in enumerate(
         eval_batches(ctx.eval_ds, cfg.batch_size)
     ):
-        x0 = sample(jnp.asarray(cond), jax.random.fold_in(base_key, bi))
+        idxs = [ctx.file_idx[nm] for nm in names]
+        padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
+        x_init = ctx.per_file_noise(padded, salt=LIMITATION_SALT)
+        x0 = sample(jnp.asarray(cond), x_init, jax.random.fold_in(base_key, bi))
         gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
         a, s, w = M.channelwise_error_sums(x0[:n_valid], gt_j[:n_valid], mask_j[:n_valid])
         abs_tot += np.asarray(a, np.float64)
         sq_tot += np.asarray(s, np.float64)
         pix_tot += float(w)
         if first_batch is None:
-            first_batch = (jnp.asarray(cond), gt_j)
+            first_batch = (jnp.asarray(cond), gt_j, mask_j, padded, n_valid)
         for j in range(n_valid):
             if saved >= cfg.save_n:
                 break
@@ -1044,16 +1046,20 @@ def run_limitation(ctx: EvalContext) -> Dict:
 
     # optional partial-reverse diagnostics on the first batch
     if cfg.partial_reverse_k and first_batch is not None:
-        cond0, gt0 = first_batch
+        cond0, gt0, mask0, padded0, nv0 = first_batch
 
         for k in cfg.partial_reverse_k:
             @jax.jit
-            def prev(cond, gt, key, k=int(k)):
+            def prev(cond, gt, noise, key, k=int(k)):
                 fn = ctx.denoise_fn(cond)
-                return partial_ddim_from_gt(fn, gt, key, ctx.schedule, k)
+                return partial_ddim_from_gt(fn, gt, key, ctx.schedule, k,
+                                            noise=noise)
 
-            xr = prev(cond0, gt0, jax.random.fold_in(base_key, 10_000 + int(k)))
-            a, s, w = M.channelwise_error_sums(xr, gt0)
+            xr = prev(cond0, gt0,
+                      ctx.per_file_noise(padded0, salt=PARTIAL_SALT + int(k)),
+                      jax.random.fold_in(base_key, 10_000 + int(k)))
+            # masked, like the reference (`Limitation_Test.py:366`)
+            a, s, w = M.channelwise_error_sums(xr[:nv0], gt0[:nv0], mask0[:nv0])
             mae_k, mse_k, psnr_k, *_ = M.aggregate_final(
                 np.asarray(a), np.asarray(s), float(w)
             )

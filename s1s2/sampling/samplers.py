@@ -338,13 +338,16 @@ def partial_ddim_from_gt(
     schedule: Schedule,
     k: int,
     clip: Tuple[float, float] = (0.0, 1.0),
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Forward-diffuse GT to t=k, reverse k→0 stride-1 deterministic DDIM;
-    final = x_t after the k→0 chain (`Evaluation/Limitation_Test.py:252-270`)."""
+    final = x_t after the k→0 chain (`Evaluation/Limitation_Test.py:252-270`).
+    ``noise`` overrides the forward-diffusion draw (torch-stream replay)."""
     k = int(max(0, min(k, schedule.T - 1)))
     B = x_gt.shape[0]
     t = jnp.full((B,), k, jnp.int32)
-    noise = jax.random.normal(key, x_gt.shape, jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(key, x_gt.shape, jnp.float32)
     x_t = q_sample(
         x_gt, noise, schedule.sqrt_alpha_bar[t], schedule.sqrt_one_minus_alpha_bar[t]
     )

@@ -48,6 +48,7 @@ import csv
 import json
 import math
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -142,6 +143,138 @@ def build_sweep_noise_npz(path, n_files, H, W, Ct, seed_base):
     return path
 
 
+def build_limitation_noise_npz(path, n_files, H, W, Ct, batch_size, ks):
+    """Limitation_Test.py consumes the global torch stream sequentially
+    (wrapper reseeds GLOBAL_SEED after torch.load): batch-0 init draw
+    (`Limitation_Test.py:231`), then ONE partial-reverse draw per k — the
+    diagnostic runs inside the loop at i==0 (`:358-366`) — then the
+    remaining batch init draws. s1s2's run_limitation reads init noise at
+    salt 300 (LIMITATION_SALT) and partial-k noise at salt 310+k."""
+    import numpy as np
+    import torch
+
+    out = {}
+    torch.manual_seed(GLOBAL_SEED)
+    # the DataLoader draws one int64 _base_seed from the default generator
+    # at iterator creation, BEFORE any batch init draw (verified empirically
+    # against torch 2.x _BaseDataLoaderIter.__init__)
+    torch.empty((), dtype=torch.int64).random_()
+
+    def draw(bs):
+        return torch.randn(bs, Ct, H, W).permute(0, 2, 3, 1).numpy()
+
+    b0 = min(batch_size, n_files)
+    z = draw(b0)
+    for j in range(b0):
+        out[f"s300_i{j}"] = z[j]
+    for k in ks:
+        zk = draw(b0)
+        for j in range(b0):
+            out[f"s{310 + int(k)}_i{j}"] = zk[j]
+    i = b0
+    while i < n_files:
+        bs = min(batch_size, n_files - i)
+        z = draw(bs)
+        for j in range(bs):
+            out[f"s300_i{i + j}"] = z[j]
+        i += bs
+    np.savez(path, **out)
+    return path
+
+
+def build_onestep_noise_npz(path, H, W, Ct):
+    """Onestep.py draws one randn_like(x_gt) for the first file right after
+    the (wrapper-reseeded) torch.load (`Evaluation/Onestep.py:155`);
+    s1s2's run_onestep reads salt 0, index 0 at --batch_size 1."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(GLOBAL_SEED)
+    z = torch.randn(1, Ct, H, W)[0].permute(1, 2, 0).numpy()
+    np.savez(path, s0_i0=z)
+    return path
+
+
+# "[partial-reverse k=5] MAE=0.1  MSE=0.2  PSNR=3.4 dB" / " B2:  MAE=…" /
+# "MAE:  0.123456" — uppercase names only (tqdm's lowercase postfix noise
+# in the merged ref log never matches)
+_METRIC_PAIR = re.compile(
+    r"(MAE_w|MSE_w|PSNR_w|MAE|MSE|PSNR)[=:]\s*(-?\d+(?:\.\d+)?)")
+
+
+def parse_metric_lines(path):
+    """{line-prefix + metric-name: value} from reference stdout logs or
+    s1s2 *_summary.txt files."""
+    vals = {}
+    for ln in open(path, errors="replace"):
+        ln = ln.rstrip("\n")
+        # tqdm redraws share the line with real prints in merged ref logs
+        # (carriage-return splicing) — cut at the last diagnostic marker
+        if "[partial-reverse" in ln:
+            ln = ln[ln.rindex("[partial-reverse"):]
+        pairs = list(_METRIC_PAIR.finditer(ln))
+        if not pairs:
+            continue
+        prefix = ln[: pairs[0].start()].strip().rstrip(":").strip()
+        for m in pairs:
+            vals[f"{prefix}{'/' if prefix else ''}{m.group(1)}"] = float(
+                m.group(2))
+    return vals
+
+
+def diff_text_metrics(ref_log, got_txt, report, table_name):
+    """Diff every printed metric line (aggregates, per-channel rows,
+    partial-reverse diagnostics) between a reference stdout log and the
+    matching s1s2 summary file."""
+    ref_v, got_v = parse_metric_lines(ref_log), parse_metric_lines(got_txt)
+    entry = {"ref": ref_log, "s1s2": got_txt, "cols": {}, "pass": True}
+    missing = sorted(set(ref_v) - set(got_v))
+    if missing:
+        entry["pass"] = False
+        entry["error"] = f"missing metric lines: {missing[:4]}"
+        report[table_name] = entry
+        return entry
+    for key, rv in ref_v.items():
+        dev = abs(rv - got_v[key])
+        tol = TOLS["PSNR"] if "PSNR" in key else DEFAULT_TOL
+        entry["cols"][key] = {"max_dev": dev, "tol": tol, "pass": dev <= tol}
+        entry["pass"] = entry["pass"] and dev <= tol
+    report[table_name] = entry
+    return entry
+
+
+def diff_npy_preds(ref_dir, got_dir, report, table_name, atol=5e-3):
+    """Element-wise diff of the saved *_pred.npy sample arrays (identical
+    stem naming on both sides)."""
+    import numpy as np
+
+    ref_files = sorted(f for f in os.listdir(ref_dir)
+                       if f.endswith("_pred.npy"))
+    entry = {"ref": ref_dir, "s1s2": got_dir, "cols": {}, "pass": True,
+             "rows": len(ref_files)}
+    if not ref_files:
+        entry["pass"] = False
+        entry["error"] = "no *_pred.npy in reference output"
+        report[table_name] = entry
+        return entry
+    worst = 0.0
+    for f in ref_files:
+        gp = os.path.join(got_dir, f)
+        if not os.path.exists(gp):
+            entry["pass"] = False
+            entry["error"] = f"missing {f}"
+            report[table_name] = entry
+            return entry
+        dev = float(np.max(np.abs(np.load(os.path.join(ref_dir, f))
+                                  - np.load(gp))))
+        worst = max(worst, dev)
+    entry["cols"]["pred_abs"] = {"max_dev": worst, "tol": atol,
+                                 "pass": worst <= atol}
+    entry["pass"] = worst <= atol
+    report[table_name] = entry
+    return entry
+
+
 def diff_csv(ref_csv, got_csv, report, table_name):
     """Column-wise |Δ| max over matching rows; pass/fail vs tolerance."""
     def read(p):
@@ -216,12 +349,14 @@ def main(argv=None):
     ap.add_argument("--t_start", type=int, default=200)
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--families", nargs="*",
-                    default=["eps", "v", "pure", "sweep"],
-                    choices=["eps", "v", "pure", "sweep"],
+                    default=["eps", "v", "pure", "sweep", "misc"],
+                    choices=["eps", "v", "pure", "sweep", "misc"],
                     help="eps/v: DDIM_Multi-step(+_v) tables; pure: "
                          "Evaluation_Pure_Generation true_infer + classical "
                          "baselines + Comparison_Original tsweep; sweep: "
-                         "DDIM_Sweep grid (pure/sweep reuse the eps ckpt)")
+                         "DDIM_Sweep grid; misc: Limitation_Test full-range "
+                         "ddim (stdout metrics + saved pred arrays) and "
+                         "Onestep (pure/sweep/misc reuse the eps ckpt)")
     ap.add_argument("--ti_steps", type=int, default=10,
                     help="true_infer DDIM steps (pure section)")
     ap.add_argument("--ti_seeds", type=int, default=3,
@@ -486,6 +621,76 @@ def main(argv=None):
                      os.path.join(got_out, "ddim_sweep_summary.csv"),
                      tables, "sweep/ddim_sweep/ddim_sweep_summary.csv")
         log("  ddim_sweep_summary.csv: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
+
+    # ------- Limitation_Test full-range ddim + Onestep (stdout scripts) ----
+    # These two reference scripts emit metrics on stdout (no CSV); certified
+    # by parsing every printed MAE/MSE/PSNR line AND element-wise diffing the
+    # saved per-sample *_pred.npy arrays (`Evaluation/Limitation_Test.py:
+    # 274-394`, `Evaluation/Onestep.py:93-175`).
+    if "misc" in args.families:
+        ckpt = ensure_eps_ckpt()
+        lim_steps, lim_bs, lim_ks = 10, 2, (5, 50)
+        lim_noise = build_limitation_noise_npz(
+            os.path.join(wd, "limitation_noise.npz"), n_files, H, W, Ct,
+            lim_bs, lim_ks)
+        ref_out = os.path.join(wd, "ref_eval_misc", "limitation")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (misc) Limitation_Test mode=ddim…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation", "Limitation_Test.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--mode", "ddim",
+                    "--ddim_steps", lim_steps, "--batch_size", lim_bs,
+                    "--base_ch", args.base_ch, "--save_n", "4",
+                    "--partial_reverse_k", *[str(k) for k in lim_ks],
+                ], log_path=ref_log)
+        got_out = os.path.join(wd, "s1s2_eval_misc", "limitation")
+        log("s1s2 eval (misc) mode=limitation…")
+        run_s1s2_eval("limitation", patches, ckpt, got_out, args.base_ch,
+                      lim_noise, param="eps",
+                      extra=("--limitation_sampler", "ddim",
+                             "--ddim_steps", str(lim_steps),
+                             "--batch_size", str(lim_bs), "--save_n", "4",
+                             "--partial_reverse_k",
+                             *[str(k) for k in lim_ks]))
+        for nm, e in (
+            ("misc/limitation/stdout_metrics", diff_text_metrics(
+                ref_log, os.path.join(got_out, "limitation_summary.txt"),
+                tables, "misc/limitation/stdout_metrics")),
+            ("misc/limitation/pred_npy", diff_npy_preds(
+                ref_out, got_out, tables, "misc/limitation/pred_npy")),
+        ):
+            log(f"  {nm}: " + ("PASS" if e["pass"] else "FAIL")
+                + " " + json.dumps({c: round(v["max_dev"], 8)
+                                    for c, v in e.get("cols", {}).items()}))
+
+        one_noise = build_onestep_noise_npz(
+            os.path.join(wd, "onestep_noise.npz"), H, W, Ct)
+        ref_out = os.path.join(wd, "ref_eval_misc", "onestep")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (misc) Onestep…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation", "Onestep.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_small", "20",
+                ], log_path=ref_log)
+        got_out = os.path.join(wd, "s1s2_eval_misc", "onestep")
+        log("s1s2 eval (misc) mode=onestep…")
+        run_s1s2_eval("onestep", patches, ckpt, got_out, args.base_ch,
+                      one_noise, param="eps",
+                      extra=("--batch_size", "1", "--t_small", "20"))
+        e = diff_text_metrics(
+            ref_log, os.path.join(got_out, "onestep_summary.txt"),
+            tables, "misc/onestep/stdout_metrics")
+        log("  misc/onestep/stdout_metrics: "
             + ("PASS" if e["pass"] else "FAIL")
             + " " + json.dumps({c: round(v["max_dev"], 8)
                                 for c, v in e.get("cols", {}).items()}))
