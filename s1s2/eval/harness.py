@@ -896,9 +896,26 @@ def run_onestep(ctx: EvalContext) -> Dict:
     (cond, gt, mask), names, n_valid = next(iter(eval_batches(ctx.eval_ds, cfg.batch_size)))
     cond_j, gt_j, mask_j = jnp.asarray(cond), jnp.asarray(gt), jnp.asarray(mask)
 
-    # (A) t=0 identity: x0̂ == x_t == GT by schedule algebra
-    mae0 = float(M.masked_mae(gt_j, gt_j, mask_j))
-    mse0 = float(M.masked_mse(gt_j, gt_j, mask_j))
+    # (A) t=0 identity: the ε script's algebra reduces exactly to GT
+    # (`Onestep.py:133-143`); the v twin reconstructs THROUGH the model —
+    # x0̂ = √ᾱ₀·x_t − √(1−ᾱ₀)·v̂ with ᾱ₀ < 1, so MAE₀ is tiny but nonzero
+    # (`Onestep_v_Prediction.py:184-198`)
+    if ctx.param is Parameterization.V:
+        ab0 = float(ctx.schedule.alpha_bar_np()[0])
+
+        @jax.jit
+        def t0_recon(cond, gt):
+            fn = ctx.denoise_fn(cond)
+            v0 = fn(gt, jnp.zeros((gt.shape[0],), jnp.int32))
+            return jnp.clip(
+                np.sqrt(ab0) * gt - np.sqrt(1.0 - ab0) * v0, 0.0, 1.0)
+
+        x0_t0 = t0_recon(cond_j, gt_j)
+        mae0 = float(M.masked_mae(x0_t0, gt_j, mask_j))
+        mse0 = float(M.masked_mse(x0_t0, gt_j, mask_j))
+    else:
+        mae0 = float(M.masked_mae(gt_j, gt_j, mask_j))
+        mse0 = float(M.masked_mse(gt_j, gt_j, mask_j))
 
     # (B) one-step at t_small
     sampler = _one_step_sampler(ctx)

@@ -44,4 +44,5 @@ def test_committed_crossval_report_passes():
         pytest.skip("committed crossval artifacts not present")
     report = json.load(open(path))
     assert report["pass"]
-    assert report["tables_total"] >= 17  # 7 eps + 2 v + 4 pure + 1 sweep + 3 misc
+    # 7 eps + 2 v + 4 pure + 1 sweep + 3 misc + 6 upd + 4 vmisc
+    assert report["tables_total"] >= 27

@@ -182,6 +182,37 @@ def build_limitation_noise_npz(path, n_files, H, W, Ct, batch_size, ks):
     return path
 
 
+def build_limitation_v_noise_npz(path, n_files, H, W, Ct, batch_size,
+                                 steps, T):
+    """sample_ddim_v consumes the stream per batch: one scaled-init draw,
+    then one randn_like per non-final grid step EVEN at eta=0
+    (`Limitation_Test_v_Prediction.py:253`, the σ·randn term is drawn
+    unconditionally) — plus the DataLoader's _base_seed int64 draw up
+    front. Only the init draws are stored (salt 300); the per-step draws
+    are consumed to keep the stream aligned."""
+    import numpy as np
+    import torch
+
+    idxs = torch.unique(
+        torch.round(torch.linspace(0, T - 1, steps)).to(torch.long),
+        sorted=True)
+    n_step_draws = len(idxs) - 1
+    out = {}
+    torch.manual_seed(GLOBAL_SEED)
+    torch.empty((), dtype=torch.int64).random_()
+    i = 0
+    while i < n_files:
+        bs = min(batch_size, n_files - i)
+        z = torch.randn(bs, Ct, H, W).permute(0, 2, 3, 1).numpy()
+        for j in range(bs):
+            out[f"s300_i{i + j}"] = z[j]
+        for _ in range(n_step_draws):
+            torch.randn(bs, Ct, H, W)
+        i += bs
+    np.savez(path, **out)
+    return path
+
+
 def build_onestep_noise_npz(path, H, W, Ct):
     """Onestep.py draws one randn_like(x_gt) for the first file right after
     the (wrapper-reseeded) torch.load (`Evaluation/Onestep.py:155`);
@@ -212,6 +243,10 @@ def parse_metric_lines(path):
         # (carriage-return splicing) — cut at the last diagnostic marker
         if "[partial-reverse" in ln:
             ln = ln[ln.rindex("[partial-reverse"):]
+        # Comparison_v prints "[t=0] MAE~0 | [one-step@t=20] MAE=… MSE=…";
+        # keep the one-step segment so the prefix matches onestep_summary
+        if " | " in ln and "[one-step@" in ln:
+            ln = ln[ln.rindex(" | ") + 3:]
         pairs = list(_METRIC_PAIR.finditer(ln))
         if not pairs:
             continue
@@ -349,14 +384,17 @@ def main(argv=None):
     ap.add_argument("--t_start", type=int, default=200)
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--families", nargs="*",
-                    default=["eps", "v", "pure", "sweep", "misc"],
-                    choices=["eps", "v", "pure", "sweep", "misc"],
+                    default=["eps", "v", "pure", "sweep", "misc", "upd",
+                             "vmisc"],
+                    choices=["eps", "v", "pure", "sweep", "misc", "upd",
+                             "vmisc"],
                     help="eps/v: DDIM_Multi-step(+_v) tables; pure: "
                          "Evaluation_Pure_Generation true_infer + classical "
                          "baselines + Comparison_Original tsweep; sweep: "
                          "DDIM_Sweep grid; misc: Limitation_Test full-range "
                          "ddim (stdout metrics + saved pred arrays) and "
-                         "Onestep (pure/sweep/misc reuse the eps ckpt)")
+                         "Onestep; upd: Evaluation_Updated/Evaluation.py six "
+                         "modes (pure/sweep/misc/upd reuse the eps ckpt)")
     ap.add_argument("--ti_steps", type=int, default=10,
                     help="true_infer DDIM steps (pure section)")
     ap.add_argument("--ti_seeds", type=int, default=3,
@@ -453,10 +491,9 @@ def main(argv=None):
                     + " " + json.dumps({c: round(v["max_dev"], 8)
                                         for c, v in e.get("cols", {}).items()}))
 
-    # ---------------- v family ----------------
-    if "v" in args.families:
+    def ensure_v_ckpt():
         ckpt = os.path.join(wd, "ref_v", "model.pth")
-        if not (args.reuse and os.path.exists(ckpt)):
+        if not os.path.exists(ckpt):
             os.makedirs(os.path.dirname(ckpt), exist_ok=True)
             log(f"training reference v model ({args.epochs} epochs, torch CPU)…")
             run_ref_script(
@@ -465,6 +502,11 @@ def main(argv=None):
                  "--epochs", args.epochs, "--base_ch", args.base_ch,
                  "--batch_size", "4"],
                 log_path=os.path.join(wd, "train_v.log"))
+        return ckpt
+
+    # ---------------- v family ----------------
+    if "v" in args.families:
+        ckpt = ensure_v_ckpt()
         script = os.path.join(REF_DIR, "Evaluation",
                               "DDIM_Multi-step_v_Prediction.py")
         v_tables = {"ddim": ["ddim_metrics.csv"], "vdiag": ["vdiag.csv"]}
@@ -625,6 +667,54 @@ def main(argv=None):
             + " " + json.dumps({c: round(v["max_dev"], 8)
                                 for c, v in e.get("cols", {}).items()}))
 
+    # ------- Evaluation_Updated/Evaluation.py: the updated eval harness ----
+    # Same six table modes as DDIM_Multi-step.py with richer schemas (ddim
+    # adds per-file PSNR/SAM/ERGAS; per_band adds SSIM + NaN SAM columns —
+    # matched by `evaluate --full_metrics`). Identical torch stream shapes,
+    # so the existing ref_noise.npz replays directly.
+    if "upd" in args.families:
+        ckpt = ensure_eps_ckpt()
+        upd_tables = {
+            "ddim": ["ddim_metrics.csv"],
+            "eps": ["eps_diag.csv"],
+            "seed_stats": ["seed_stats.csv"],
+            "per_band": ["per_band_all.csv"],
+            "ablate": ["ablate_all.csv"],
+            "tsweep": ["tsweep.csv"],
+        }
+        t_values = ["5", "20", "80"]
+        script = os.path.join(REF_DIR, "Evaluation_Updated", "Evaluation.py")
+        for mode in upd_tables:
+            ref_out = os.path.join(wd, "ref_eval_upd", mode)
+            if not (args.reuse and
+                    os.path.exists(os.path.join(ref_out, upd_tables[mode][0]))):
+                os.makedirs(ref_out, exist_ok=True)
+                log(f"reference eval (upd) mode={mode}…")
+                run_ref_script(script, [
+                    "--mode", mode, "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_start", args.t_start,
+                    "--ddim_steps", args.ddim_steps,
+                    "--n_seeds", args.n_seeds, "--seed_base", args.seed_base,
+                    "--t_values", *t_values, "--save_viz_n", "0",
+                ], log_path=os.path.join(ref_out, "run.log"))
+            got_out = os.path.join(wd, "s1s2_eval_upd", mode)
+            log(f"s1s2 eval (upd) mode={mode}…")
+            run_s1s2_eval(mode, patches, ckpt, got_out, args.base_ch,
+                          noise_npz, param="eps", n_seeds=args.n_seeds,
+                          extra=("--t_start", str(args.t_start),
+                                 "--ddim_steps", str(args.ddim_steps),
+                                 "--seed_base", str(args.seed_base),
+                                 "--t_values", *t_values, "--full_metrics"))
+            for table in upd_tables[mode]:
+                e = diff_csv(os.path.join(ref_out, table),
+                             os.path.join(got_out, table),
+                             tables, f"upd/{mode}/{table}")
+                log(f"  {table}: "
+                    + ("PASS" if e["pass"] else "FAIL")
+                    + " " + json.dumps({c: round(v["max_dev"], 8)
+                                        for c, v in e.get("cols", {}).items()}))
+
     # ------- Limitation_Test full-range ddim + Onestep (stdout scripts) ----
     # These two reference scripts emit metrics on stdout (no CSV); certified
     # by parsing every printed MAE/MSE/PSNR line AND element-wise diffing the
@@ -691,6 +781,98 @@ def main(argv=None):
             ref_log, os.path.join(got_out, "onestep_summary.txt"),
             tables, "misc/onestep/stdout_metrics")
         log("  misc/onestep/stdout_metrics: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
+
+    # ------- v-family stdout scripts: Limitation_Test_v + Onestep_v -------
+    if "vmisc" in args.families:
+        ckpt = ensure_v_ckpt()
+        lim_steps, lim_bs = 10, 2
+        limv_noise = build_limitation_v_noise_npz(
+            os.path.join(wd, "limitation_v_noise.npz"), n_files, H, W, Ct,
+            lim_bs, lim_steps, 1000)
+        ref_out = os.path.join(wd, "ref_eval_vmisc", "limitation")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (vmisc) Limitation_Test_v mode=ddim η=0…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation",
+                             "Limitation_Test_v_Prediction.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--mode", "ddim",
+                    "--ddim_steps", lim_steps, "--ddim_eta", "0",
+                    "--batch_size", lim_bs, "--base_ch", args.base_ch,
+                    "--save_n", "4",
+                ], log_path=ref_log)
+        got_out = os.path.join(wd, "s1s2_eval_vmisc", "limitation")
+        log("s1s2 eval (vmisc) mode=limitation param=v…")
+        run_s1s2_eval("limitation", patches, ckpt, got_out, args.base_ch,
+                      limv_noise, param="v",
+                      extra=("--limitation_sampler", "ddim",
+                             "--ddim_steps", str(lim_steps), "--eta", "0",
+                             "--batch_size", str(lim_bs), "--save_n", "4"))
+        for nm, e in (
+            ("vmisc/limitation/stdout_metrics", diff_text_metrics(
+                ref_log, os.path.join(got_out, "limitation_summary.txt"),
+                tables, "vmisc/limitation/stdout_metrics")),
+            ("vmisc/limitation/pred_npy", diff_npy_preds(
+                ref_out, got_out, tables, "vmisc/limitation/pred_npy")),
+        ):
+            log(f"  {nm}: " + ("PASS" if e["pass"] else "FAIL")
+                + " " + json.dumps({c: round(v["max_dev"], 8)
+                                    for c, v in e.get("cols", {}).items()}))
+
+        one_noise = build_onestep_noise_npz(
+            os.path.join(wd, "onestep_v_noise.npz"), H, W, Ct)
+        ref_out = os.path.join(wd, "ref_eval_vmisc", "onestep")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (vmisc) Onestep_v…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation",
+                             "Onestep_v_Prediction.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_small", "20", "--use_first_n", "1",
+                ], log_path=ref_log)
+        got_out = os.path.join(wd, "s1s2_eval_vmisc", "onestep")
+        log("s1s2 eval (vmisc) mode=onestep param=v…")
+        run_s1s2_eval("onestep", patches, ckpt, got_out, args.base_ch,
+                      one_noise, param="v",
+                      extra=("--batch_size", "1", "--t_small", "20"))
+        e = diff_text_metrics(
+            ref_log, os.path.join(got_out, "onestep_summary.txt"),
+            tables, "vmisc/onestep/stdout_metrics")
+        log("  vmisc/onestep/stdout_metrics: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: round(v["max_dev"], 8)
+                                for c, v in e.get("cols", {}).items()}))
+
+        # Comparison_v_Prediction: per-file one-step v recon with the same
+        # post-reseed sequential draw — first file matches the onestep
+        # stream exactly, so the onestep npz + summary replay it
+        # (`Evaluation/Comparison_v_Prediction.py:196-210`)
+        ref_out = os.path.join(wd, "ref_eval_vmisc", "compare")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (vmisc) Comparison_v (first file)…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation",
+                             "Comparison_v_Prediction.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--base_ch", args.base_ch,
+                    "--t_small", "20", "--use_first_n", "1",
+                ], log_path=ref_log)
+        e = diff_text_metrics(
+            ref_log,
+            os.path.join(wd, "s1s2_eval_vmisc", "onestep",
+                         "onestep_summary.txt"),
+            tables, "vmisc/compare/stdout_metrics")
+        log("  vmisc/compare/stdout_metrics: "
             + ("PASS" if e["pass"] else "FAIL")
             + " " + json.dumps({c: round(v["max_dev"], 8)
                                 for c, v in e.get("cols", {}).items()}))
