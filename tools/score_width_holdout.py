@@ -31,7 +31,8 @@ def main():
                     help="held-out patch dir (different make_synthetic seed "
                          "than the training/evidence set)")
     ap.add_argument("--t_start", type=int, default=200)
-    ap.add_argument("--widths", type=int, nargs="+", default=[96, 64, 48, 32])
+    ap.add_argument("--widths", type=int, nargs="+",
+                    default=[96, 64, 48, 32, 24])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -110,7 +111,9 @@ def main():
     names = {96: "distill_eps_student1.bf16.msgpack",
              64: "distill_eps_student64.bf16.msgpack",
              48: "distill_eps_student48.bf16.msgpack",
-             32: "distill_eps_student32.bf16.msgpack"}
+             32: "distill_eps_student32.bf16.msgpack",
+             24: "distill_eps_student24.bf16.msgpack",
+             16: "distill_eps_student16.bf16.msgpack"}
     for w in args.widths:
         model, params = load(w, names[w])
         score(f"student{w}_ddim1",
