@@ -954,15 +954,28 @@ def run_limitation(ctx: EvalContext) -> Dict:
     pix_tot = 0.0
 
     if cfg.limitation_sampler == "ddpm":
-        # ancestral per-step draws are jax-keyed only: a torch stream replay
-        # would need all T per-step tensors (`Limitation_Test.py:209-221`)
+        ddpm_replay = cfg.noise_npz is not None
+        if ddpm_replay:
+            # torch-stream replay: per_file_noise yields the FULL draw stream
+            # (T, H, W, C) per file — init + T-1 per-step randn_like tensors
+            # in the reference's consumption order (`Limitation_Test.py:209-221`)
 
-        @jax.jit
-        def sample(cond, x_init, key):
-            fn = ctx.denoise_fn(cond)
-            return ddpm_ancestral(
-                fn, cond.shape[:3] + (ctx.Ct,), key, ctx.schedule, ctx.param
-            )
+            @jax.jit
+            def sample(cond, noise_stream, key):
+                fn = ctx.denoise_fn(cond)
+                return ddpm_ancestral(
+                    fn, cond.shape[:3] + (ctx.Ct,), key, ctx.schedule,
+                    ctx.param, noise=jnp.moveaxis(noise_stream, 1, 0),
+                )
+
+        else:
+
+            @jax.jit
+            def sample(cond, x_init, key):
+                fn = ctx.denoise_fn(cond)
+                return ddpm_ancestral(
+                    fn, cond.shape[:3] + (ctx.Ct,), key, ctx.schedule, ctx.param
+                )
 
     else:
         if ctx.param is Parameterization.EPS:

@@ -287,17 +287,39 @@ def ddpm_ancestral(
     schedule: Schedule,
     param: Parameterization = Parameterization.EPS,
     clip: Tuple[float, float] = (0.0, 1.0),
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full ancestral DDPM from pure noise, T model calls
     (`Evaluation/Limitation_Test.py:209-224`; v variant
-    `Evaluation/Limitation_Test_v_Prediction.py:210-226`)."""
+    `Evaluation/Limitation_Test_v_Prediction.py:210-226`).
+
+    ``noise`` (optional) replays an external draw stream in the reference's
+    consumption order: shape ``(T,) + shape`` where ``noise[0]`` is the pure-
+    noise init (`Limitation_Test.py:212`) and ``noise[j]`` (j=1..T-1) the
+    post-mean draw of step j, i.e. ``randn_like`` at t = T-j
+    (`Limitation_Test.py:221`; no draw at t=0). When given, ``key`` is unused.
+    """
     T = schedule.T
     betas = np.asarray(schedule.betas, np.float64)
     alphas = 1.0 - betas
     ab = schedule.alpha_bar_np().astype(np.float64)
     order = np.arange(T - 1, -1, -1)
 
-    keys = jax.random.split(key, T + 1)
+    if noise is None:
+        keys = jax.random.split(key, T + 1)
+        x_t = jax.random.normal(keys[0], shape, jnp.float32)
+        draws = keys[1:]
+    else:
+        if noise.shape != (T,) + tuple(shape):
+            raise ValueError(
+                f"ddpm replay noise must be (T,)+shape = {(T,) + tuple(shape)}, "
+                f"got {noise.shape}")
+        x_t = noise[0].astype(jnp.float32)
+        # step j consumes noise[j+1]; the t=0 step has noise_scale 0, so its
+        # (never-drawn-by-torch) slot is a zero placeholder
+        draws = jnp.concatenate(
+            [noise[1:].astype(jnp.float32),
+             jnp.zeros((1,) + tuple(shape), jnp.float32)], axis=0)
     xs = (
         jnp.asarray(order, jnp.int32),
         jnp.asarray(1.0 / np.sqrt(alphas[order]), jnp.float32),
@@ -305,9 +327,8 @@ def ddpm_ancestral(
         jnp.asarray(np.sqrt(ab[order]), jnp.float32),
         jnp.asarray(np.sqrt(1.0 - ab[order]), jnp.float32),
         jnp.asarray(np.where(order > 0, np.sqrt(betas[order]), 0.0), jnp.float32),
-        keys[1:],
+        draws,
     )
-    x_t = jax.random.normal(keys[0], shape, jnp.float32)
     B = shape[0]
     param = Parameterization(param)
 
@@ -319,7 +340,7 @@ def ddpm_ancestral(
         else:
             _, eps = pred_to_x0_eps(param, x_t, pred, sab[None], s1mab[None])
         mean = inv_sa * (x_t - coef * eps)
-        z = jax.random.normal(k, x_t.shape, jnp.float32)
+        z = k if noise is not None else jax.random.normal(k, x_t.shape, jnp.float32)
         return mean + noise_scale * z, None
 
     x_t, _ = jax.lax.scan(step, x_t, xs)

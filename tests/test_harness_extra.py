@@ -62,6 +62,38 @@ def test_limitation_ddpm_sampler(trained, cloud_patch_dir, tmp_path):
     assert "PSNR" in txt
 
 
+def test_limitation_ddpm_noise_replay(trained, cloud_patch_dir, tmp_path):
+    """--noise_npz with full (T,H,W,C) per-file streams drives the ancestral
+    sampler through the replay path (`Limitation_Test.py:209-224` stream
+    order); identical streams ⇒ identical metrics, changed init ⇒ changed."""
+    import numpy as np
+
+    T, H, W, Ct = 20, 16, 16, 4
+    rng = np.random.default_rng(0)
+    streams = {f"s300_i{i}": rng.standard_normal((T, H, W, Ct)).astype(
+        np.float32) for i in range(4)}
+    npz_a = tmp_path / "noise_a.npz"
+    np.savez(npz_a, **streams)
+    out_a, out_b, out_c = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    for out, npz in ((out_a, npz_a), (out_b, npz_a)):
+        _eval("limitation", cloud_patch_dir, trained, out,
+              "--limitation_sampler", "ddpm", "--save_n", "0",
+              "--noise_npz", str(npz))
+    # perturb only the init draw of file 0 → metrics must move
+    streams["s300_i0"] = streams["s300_i0"].copy()
+    streams["s300_i0"][0] += 1.0
+    npz_c = tmp_path / "noise_c.npz"
+    np.savez(npz_c, **streams)
+    _eval("limitation", cloud_patch_dir, trained, out_c,
+          "--limitation_sampler", "ddpm", "--save_n", "0",
+          "--noise_npz", str(npz_c))
+    ta = (out_a / "limitation_summary.txt").read_text()
+    tb = (out_b / "limitation_summary.txt").read_text()
+    tc = (out_c / "limitation_summary.txt").read_text()
+    assert ta == tb
+    assert ta != tc
+
+
 def test_solver_dpm2m_modes(trained, cloud_patch_dir, tmp_path):
     """--solver dpm2m must run through both recon (ddim mode) and
     generation (true_infer) paths."""

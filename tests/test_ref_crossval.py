@@ -24,12 +24,13 @@ def test_crossval_eps_family(tmp_path):
     rc = main(["--workdir", str(tmp_path), "--n", "4", "--size", "32",
                "--base_ch", "8", "--epochs", "1", "--n_seeds", "2",
                "--ddim_steps", "5", "--ti_steps", "4", "--ti_seeds", "2",
-               "--families", "eps", "pure", "sweep", "misc"])
+               "--families", "eps", "pure", "sweep", "misc", "ddpm"])
     assert rc == 0
     report = json.load(open(tmp_path / "report.json"))
     # 7 eps + 4 pure (true_infer, bicubic, linear, tsweep) + 1 sweep
     # + 3 misc (limitation stdout/npy, onestep stdout)
-    assert report["pass"] and report["tables_total"] == 15
+    # + 2 ddpm (ancestral full noise-stream replay: stdout + pred npy)
+    assert report["pass"] and report["tables_total"] == 17
     # the core tables agree to the CSV rounding quantum (1e-6), far below
     # the certification tolerance
     ddim = report["tables"]["eps/ddim/ddim_metrics.csv"]
@@ -44,5 +45,5 @@ def test_committed_crossval_report_passes():
         pytest.skip("committed crossval artifacts not present")
     report = json.load(open(path))
     assert report["pass"]
-    # 7 eps + 2 v + 4 pure + 1 sweep + 3 misc + 6 upd + 4 vmisc
-    assert report["tables_total"] >= 27
+    # 7 eps + 2 v + 4 pure + 1 sweep + 3 misc + 6 upd + 4 vmisc + 2 ddpm
+    assert report["tables_total"] >= 29

@@ -205,6 +205,31 @@ class TestDDPM:
         )
         assert np.isfinite(out).all()
 
+    def test_noise_replay_matches_keyed_run(self):
+        """Feeding the keyed run's own draws through the replay path must
+        reproduce it to float rounding (same consumption order as
+        `Evaluation/Limitation_Test.py:209-224`: init + one draw per t>0;
+        the two compiled programs may fuse mean+scale*z differently, so
+        equality is up to per-step FMA rounding, ~4e-7 over T=100)."""
+        key = jax.random.PRNGKey(7)
+        keyed = np.asarray(ddpm_ancestral(fake_denoise, SHAPE, key, SCHED))
+        keys = jax.random.split(key, T + 1)
+        stream = jnp.stack(
+            [jax.random.normal(keys[0], SHAPE, jnp.float32)]
+            + [jax.random.normal(k, SHAPE, jnp.float32) for k in keys[1:T]]
+        )
+        replay = np.asarray(
+            ddpm_ancestral(fake_denoise, SHAPE, jax.random.PRNGKey(999), SCHED,
+                           noise=stream)
+        )
+        np.testing.assert_allclose(keyed, replay, atol=1e-5)
+
+    def test_noise_replay_shape_validated(self):
+        bad = jnp.zeros((T - 1,) + SHAPE, jnp.float32)
+        with pytest.raises(ValueError):
+            ddpm_ancestral(fake_denoise, SHAPE, jax.random.PRNGKey(0), SCHED,
+                           noise=bad)
+
 
 class TestDiagnostics:
     def test_partial_reverse_near_gt_for_small_k(self, rng):

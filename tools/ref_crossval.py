@@ -182,6 +182,33 @@ def build_limitation_noise_npz(path, n_files, H, W, Ct, batch_size, ks):
     return path
 
 
+def build_limitation_ddpm_noise_npz(path, n_files, H, W, Ct, batch_size, T):
+    """Limitation_Test.py --mode ddpm consumes, per batch: one init
+    randn(bs,C,H,W) (`Limitation_Test.py:212`) then T-1 randn_like draws,
+    one per step t=T-1..1 (`:221`; none at t=0) — after the DataLoader's
+    _base_seed int64 draw. Stored per file as the FULL (T,H,W,C) stream
+    (slot 0 = init, slot j = step-j draw) so s1s2's ddpm replay path can
+    re-consume it exactly (salt 300 = LIMITATION_SALT)."""
+    import numpy as np
+    import torch
+
+    out = {}
+    torch.manual_seed(GLOBAL_SEED)
+    torch.empty((), dtype=torch.int64).random_()
+    i = 0
+    while i < n_files:
+        bs = min(batch_size, n_files - i)
+        stream = np.empty((T, bs, H, W, Ct), np.float32)
+        stream[0] = torch.randn(bs, Ct, H, W).permute(0, 2, 3, 1).numpy()
+        for j in range(1, T):
+            stream[j] = torch.randn(bs, Ct, H, W).permute(0, 2, 3, 1).numpy()
+        for j in range(bs):
+            out[f"s300_i{i + j}"] = stream[:, j]
+        i += bs
+    np.savez(path, **out)
+    return path
+
+
 def build_limitation_v_noise_npz(path, n_files, H, W, Ct, batch_size,
                                  steps, T):
     """sample_ddim_v consumes the stream per batch: one scaled-init draw,
@@ -385,9 +412,9 @@ def main(argv=None):
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--families", nargs="*",
                     default=["eps", "v", "pure", "sweep", "misc", "upd",
-                             "vmisc"],
+                             "vmisc", "ddpm"],
                     choices=["eps", "v", "pure", "sweep", "misc", "upd",
-                             "vmisc"],
+                             "vmisc", "ddpm"],
                     help="eps/v: DDIM_Multi-step(+_v) tables; pure: "
                          "Evaluation_Pure_Generation true_infer + classical "
                          "baselines + Comparison_Original tsweep; sweep: "
@@ -784,6 +811,47 @@ def main(argv=None):
             + ("PASS" if e["pass"] else "FAIL")
             + " " + json.dumps({c: round(v["max_dev"], 8)
                                 for c, v in e.get("cols", {}).items()}))
+
+    # ------- Limitation_Test ancestral DDPM (full per-step noise replay) --
+    # The last stream-consuming mode: T model calls with one randn_like per
+    # step (`Evaluation/Limitation_Test.py:209-224`). Run at --T 50 so the
+    # replayed stream (T tensors/file) stays small; certified on stdout
+    # metrics AND saved *_pred.npy arrays like the ddim mode.
+    if "ddpm" in args.families:
+        ckpt = ensure_eps_ckpt()
+        ddpm_T, ddpm_bs = 50, 2
+        ddpm_noise = build_limitation_ddpm_noise_npz(
+            os.path.join(wd, "limitation_ddpm_noise.npz"), n_files, H, W, Ct,
+            ddpm_bs, ddpm_T)
+        ref_out = os.path.join(wd, "ref_eval_misc", "ddpm")
+        ref_log = os.path.join(ref_out, "run.log")
+        if not (args.reuse and os.path.exists(ref_log)):
+            os.makedirs(ref_out, exist_ok=True)
+            log("reference eval (ddpm) Limitation_Test mode=ddpm T=50…")
+            run_ref_script(
+                os.path.join(REF_DIR, "Evaluation", "Limitation_Test.py"), [
+                    "--patch_dir", patches, "--ckpt", ckpt,
+                    "--out_dir", ref_out, "--mode", "ddpm",
+                    "--T", ddpm_T, "--batch_size", ddpm_bs,
+                    "--base_ch", args.base_ch, "--save_n", "4",
+                ], log_path=ref_log)
+        got_out = os.path.join(wd, "s1s2_eval_misc", "ddpm")
+        log("s1s2 eval (ddpm) mode=limitation sampler=ddpm…")
+        run_s1s2_eval("limitation", patches, ckpt, got_out, args.base_ch,
+                      ddpm_noise, param="eps",
+                      extra=("--limitation_sampler", "ddpm",
+                             "--T", str(ddpm_T),
+                             "--batch_size", str(ddpm_bs), "--save_n", "4"))
+        for nm, e in (
+            ("ddpm/limitation/stdout_metrics", diff_text_metrics(
+                ref_log, os.path.join(got_out, "limitation_summary.txt"),
+                tables, "ddpm/limitation/stdout_metrics")),
+            ("ddpm/limitation/pred_npy", diff_npy_preds(
+                ref_out, got_out, tables, "ddpm/limitation/pred_npy")),
+        ):
+            log(f"  {nm}: " + ("PASS" if e["pass"] else "FAIL")
+                + " " + json.dumps({c: round(v["max_dev"], 8)
+                                    for c, v in e.get("cols", {}).items()}))
 
     # ------- v-family stdout scripts: Limitation_Test_v + Onestep_v -------
     if "vmisc" in args.families:
