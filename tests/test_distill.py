@@ -365,6 +365,50 @@ def test_endpoint_puregen_v_teacher_v_student_end_to_end(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_endpoint_puregen_guidance_width_combo(rng):
+    """The full r3 production recipe in one call: a NARROW v-head student
+    distilled from a wider v teacher's GUIDED pure-generation endpoints
+    (student_apply_fn + mode='puregen' + student_param='v' +
+    guidance_scale). Loss stays O(1), the returned tree has the narrow
+    architecture, and it drives a finite 1-step v-grid pure generation."""
+    from s1s2.core.parametrize import Parameterization
+    from s1s2.models import UNetSmall
+    from s1s2.sampling.grids import round_unique_grid
+    from s1s2.sampling.samplers import ddim_grid_sample
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=99, lr=1e-3, teacher_param="v")
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    narrow = UNetSmall(out_ch=x0.shape[-1], base_ch=2,
+                       compute_dtype=jnp.float32)
+    n_vars = narrow.init(
+        jax.random.PRNGKey(7),
+        jnp.zeros((1, 8, 8, cond.shape[-1] + x0.shape[-1]), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
+    logs = []
+    student = endpoint_distill(
+        model.apply, schedule, cfg, n_vars["params"], teacher, cond, x0,
+        mask, epochs=2, batch_size=2, teacher_steps=2, n_seeds=1,
+        mode="puregen", student_param="v", guidance_scale=2.0,
+        progress=logs.append, log_every=1, student_apply_fn=narrow.apply)
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    assert all(abs(l["loss"]) < 1e4 for l in logs)
+    s_shapes = jax.tree_util.tree_map(lambda x: x.shape, student)
+    n_shapes = jax.tree_util.tree_map(lambda x: x.shape, n_vars["params"])
+    assert s_shapes == n_shapes
+    grid = round_unique_grid(99, 1, 100)
+    s1mab = float(np.sqrt(1 - schedule.alpha_bar_np()[int(grid[-1])]))
+    nz = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
+    out = ddim_grid_sample(
+        lambda x, t: narrow.apply({"params": student},
+                                  jnp.concatenate([x, cond], -1), t),
+        nz * s1mab, jax.random.PRNGKey(0), schedule, grid,
+        Parameterization.V)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_endpoint_guidance_scale_changes_targets(rng):
     """guidance_scale rolls the teacher through the CFG stacked forward;
     the distilled student absorbs the guidance, so different scales must
