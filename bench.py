@@ -57,7 +57,8 @@ def main() -> None:
     from s1s2.core import Schedule
     from s1s2.core.parametrize import Parameterization, q_sample
     from s1s2.models import UNetSmall
-    from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+    from s1s2.models.quant import (make_quant_denoise_fn, make_sampler_calib,
+                                   quantize_unet)
     from s1s2.sampling import ddim_anchored, dpm_solver_2m, make_denoise_fn
     from s1s2.sampling.grids import round_unique_grid
 
@@ -98,15 +99,8 @@ def main() -> None:
 
     # ---- quantize once (calibration on sampler-representative tensors) ----
     cond, gt = data(64, 3)
-    calib = []
-    key = jax.random.PRNGKey(5)
-    for tval in (999, 500, 200, 20):
-        key, sub = jax.random.split(key)
-        x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
-                       float(np.sqrt(ab[tval])), float(np.sqrt(1.0 - ab[tval])))
-        calib.append((jnp.concatenate([x_t, cond[:8]], -1),
-                      jnp.full((8,), tval, jnp.int32)))
-    qp = quantize_unet(variables["params"], calib)
+    qp = quantize_unet(variables["params"],
+                       make_sampler_calib(gt, cond, ab, (999, 500, 200, 20)))
 
     # ---- 2. quality-matched: dpm2m-5 + int8 (6 UNet calls) ----
     grid = round_unique_grid(200, 5, 1000)
@@ -165,15 +159,7 @@ def main() -> None:
              if it["mask"] is None else it["mask"] for it in items]))
         student = load_params(ckpt, template=variables["params"])
         # calibration identical to tools/score_distill_full.py --int8
-        calib_s = []
-        ck = jax.random.PRNGKey(5)
-        for tval in (200, 100, 20):
-            ck, sub = jax.random.split(ck)
-            x_t = q_sample(ev_gt[:8], jax.random.normal(sub, ev_gt[:8].shape),
-                           float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib_s.append((jnp.concatenate([x_t, ev_cond[:8]], -1),
-                            jnp.full((8,), tval, jnp.int32)))
+        calib_s = make_sampler_calib(ev_gt, ev_cond, ab, (200, 100, 20))
         qp_head = quantize_unet(student, calib_s)
         ev_key = jax.random.PRNGKey(1234)
         ev_noise = jax.random.normal(ev_key, ev_gt.shape)

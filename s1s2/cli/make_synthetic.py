@@ -11,6 +11,8 @@ def main(argv=None) -> None:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--c_cond", type=int, default=4,
+                    help="number of conditioning (S1-like) bands")
     ap.add_argument("--rich", action="store_true",
                     help="dataset-level learnable cond→target map "
                          "(one mixing matrix + nonlinear features) instead "
@@ -18,7 +20,8 @@ def main(argv=None) -> None:
                          "s1s2.data.synthetic")
     args = ap.parse_args(argv)
     files = make_synthetic_patches(args.out, n=args.n, size=args.size,
-                                   seed=args.seed, rich=args.rich)
+                                   seed=args.seed, rich=args.rich,
+                                   c_cond=args.c_cond)
     print(f"wrote {len(files)} patches to {args.out}")
 
 

@@ -74,12 +74,19 @@ def make_synthetic_patches(
             # dataset-level deterministic map: nonlinear per-channel
             # features mixed by ONE matrix, + low-amplitude unpredictable
             # detail (posterior-mean floor, like real optical texture)
-            feats = np.stack([
+            feat_list = [
                 np.tanh(cond[0]) + 0.3 * np.sin(3.0 * cond[1 % c_cond]),
                 np.tanh(cond[1 % c_cond] * cond[2 % c_cond]),
                 np.abs(np.tanh(cond[2 % c_cond])) - 0.5,
                 np.tanh(0.5 * cond[3 % c_cond] + 0.25 * cond[0] ** 2),
-            ][:c_cond]).astype(np.float32)
+            ]
+            # c_cond > 4: extend with deterministic harmonics (keeps the
+            # first four exprs — and thus all committed seeds — unchanged)
+            for j in range(4, c_cond):
+                feat_list.append(
+                    np.tanh(cond[j % c_cond])
+                    * np.cos((j + 1) * cond[(j + 1) % c_cond]))
+            feats = np.stack(feat_list[:c_cond]).astype(np.float32)
             tgt = np.tensordot(fixed_mix, feats, axes=1)
             detail = _smooth_field(rng, size, size, octaves=5)
             tgt = tgt + 0.05 * detail[None, :, :]

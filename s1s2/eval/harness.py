@@ -238,29 +238,21 @@ class EvalContext:
     def _quantize(self):
         """Post-training int8 quantization calibrated on the first dataset
         batch q_sampled at a spread of sampler timesteps."""
-        from s1s2.core.parametrize import q_sample
-        from s1s2.models.quant import quantize_unet
+        from s1s2.models.quant import make_sampler_calib, quantize_unet
 
         n = min(len(self.ds), 8)
         items = [self.ds[i] for i in range(n)]
         cond = jnp.asarray(np.stack([d["cond"] for d in items]))
         gt = jnp.asarray(np.stack([d["target"] for d in items]))
         ab = self.schedule.alpha_bar_np()
-        calib = []
-        key = jax.random.PRNGKey(self.cfg.seed_base)
         t_hi = min(max(self.cfg.t_start, 1), self.cfg.T - 1)
-        for tval in sorted({t_hi, max(t_hi // 2, 1), min(5, t_hi)}):
-            key, sub = jax.random.split(key)
-            x_t = q_sample(gt, jax.random.normal(sub, gt.shape),
-                           float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib.append((jnp.concatenate([x_t, cond], -1),
-                          jnp.full((n,), tval, jnp.int32)))
-            if self.cfg.guidance_scale is not None or self.cfg.mode == "cfg_sweep":
-                # CFG runs a null-cond pass too — calibrate its ranges
-                calib.append((jnp.concatenate(
-                    [x_t, jnp.zeros_like(cond)], -1),
-                    jnp.full((n,), tval, jnp.int32)))
+        # CFG runs a null-cond pass too — calibrate its ranges
+        null_cond = (self.cfg.guidance_scale is not None
+                     or self.cfg.mode == "cfg_sweep")
+        calib = make_sampler_calib(
+            gt, cond, ab, sorted({t_hi, max(t_hi // 2, 1), min(5, t_hi)}),
+            key=jax.random.PRNGKey(self.cfg.seed_base), n=n,
+            null_cond=null_cond)
         return quantize_unet(self.variables["params"], calib,
                              out_ch=self.Ct, base_ch=self.cfg.base_ch)
 
@@ -969,6 +961,8 @@ def run_limitation(ctx: EvalContext) -> Dict:
                 )
 
         else:
+            # fresh-noise ancestral DDPM draws every tensor inside the scan
+            # from `key`; no host-side init draw is consumed (needs_init)
 
             @jax.jit
             def sample(cond, x_init, key):
@@ -1013,6 +1007,7 @@ def run_limitation(ctx: EvalContext) -> Dict:
         gts = (load_patch(ctx.ds.path(i))["target"] for i in range(len(ctx.ds)))
         viz_lo, viz_hi = V.dataset_fixed_lo_hi(gts, cfg.viz_q_low, cfg.viz_q_high)
 
+    needs_init = not (cfg.limitation_sampler == "ddpm" and cfg.noise_npz is None)
     saved = 0
     base_key = jax.random.PRNGKey(cfg.seed_base)
     first_batch = None
@@ -1021,7 +1016,8 @@ def run_limitation(ctx: EvalContext) -> Dict:
     ):
         idxs = [ctx.file_idx[nm] for nm in names]
         padded = idxs + [idxs[-1]] * (cfg.batch_size - n_valid)
-        x_init = ctx.per_file_noise(padded, salt=LIMITATION_SALT)
+        x_init = (ctx.per_file_noise(padded, salt=LIMITATION_SALT)
+                  if needs_init else None)
         x0 = sample(jnp.asarray(cond), x_init, jax.random.fold_in(base_key, bi))
         gt_j, mask_j = jnp.asarray(gt), jnp.asarray(mask)
         a, s, w = M.channelwise_error_sums(x0[:n_valid], gt_j[:n_valid], mask_j[:n_valid])

@@ -198,6 +198,45 @@ def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96) -> Dict[str, 
     return {k: max(v, 1e-6) / 127.0 for k, v in mx.items()}
 
 
+def make_sampler_calib(gt, cond, alpha_bar, tvals, *, key=None, n: int = 8,
+                       noise=None, null_cond: bool = False):
+    """Sampler-representative calibration batches for ``quantize_unet``.
+
+    Builds ``(x_and_cond, t_idx)`` pairs where ``x_t = q_sample(gt)`` at each
+    timestep in ``tvals`` — the tensors the denoiser actually sees inside a
+    sampler loop. One definition for every bench/eval/scoring entry point so
+    the quantization recipe can't drift between the throughput measurement
+    and the quality evidence it cites.
+
+    - ``key``: PRNG key split once per tval for the forward-noise draw
+      (default ``PRNGKey(5)``, the historical recipe).
+    - ``noise``: use this fixed (n,H,W,C) tensor at EVERY tval instead of
+      drawing per-tval noise (bench_quality_matched's variant).
+    - ``null_cond``: also emit a zeroed-cond twin per tval so CFG's
+      unconditional pass is calibrated (`EvalContext.quantize`).
+    """
+    from s1s2.core.parametrize import q_sample
+
+    gt, cond = gt[:n], cond[:n]
+    if key is None:
+        key = jax.random.PRNGKey(5)
+    calib = []
+    for tval in tvals:
+        if noise is None:
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, gt.shape)
+        else:
+            eps = noise[:n]
+        x_t = q_sample(gt, eps, float(np.sqrt(alpha_bar[tval])),
+                       float(np.sqrt(1.0 - alpha_bar[tval])))
+        t_vec = jnp.full((gt.shape[0],), tval, jnp.int32)
+        calib.append((jnp.concatenate([x_t, cond], -1), t_vec))
+        if null_cond:
+            calib.append((jnp.concatenate([x_t, jnp.zeros_like(cond)], -1),
+                          t_vec))
+    return calib
+
+
 def quantize_unet(params, calib_batches, out_ch: int = 4,
                   base_ch: int = 96, quant_up: bool = False) -> QuantParams:
     """One-call post-training quantization of a trained UNetSmall.

@@ -226,7 +226,13 @@ def ddim_grid_sample(
     )
     dir_term = np.sqrt(np.clip((1.0 - a_prev) - sigma**2, 0.0, None))
 
-    per_file_keys = getattr(key, "ndim", 1) == 2  # (B, 2) batch of keys
+    # A batch of per-file keys is (B, 2) for raw uint32 keys, or (B,) for
+    # new-style typed keys (jax.random.key); a single key is (2,) / scalar.
+    key_ndim = getattr(key, "ndim", 1)
+    if jnp.issubdtype(getattr(key, "dtype", jnp.uint32), jax.dtypes.prng_key):
+        per_file_keys = key_ndim == 1
+    else:
+        per_file_keys = key_ndim == 2
     if per_file_keys:
         # (B, n, 2) → (n, B, 2): step-major for the scan, one stream per file
         step_keys = jnp.swapaxes(

@@ -13,6 +13,8 @@ Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import time
 from typing import Callable, Optional
 
@@ -60,6 +62,8 @@ def train_loop(
 ) -> dict:
     """Full training run → history dict. Pure-Python driver; all math is in
     the jitted step."""
+    if run.save_every < 1:
+        raise ValueError(f"save_every must be >= 1, got {run.save_every}")
     ds = NpzPatchDataset(run.patch_dir, max_files=run.max_patches)
     Cc, Ct, H, W = ds.probe_channels()
     if run.cache_dir:
@@ -86,8 +90,6 @@ def train_loop(
     state = create_train_state(variables["params"], cfg)
     start_epoch = 1
     if run.resume and run.save_state_dir:
-        import os
-
         from s1s2.train.checkpoint import restore_state
 
         if os.path.exists(run.save_state_dir):
@@ -113,7 +115,14 @@ def train_loop(
     key = jax.random.PRNGKey(run.seed + 1)
 
     final_path, last_path, best_path = reference_artifact_paths(run.model_path)
+    # best_loss survives restarts via a JSON sidecar next to model_best
+    # (the orbax state holds params/opt/step only): without it, the first
+    # post-resume save would overwrite a better pre-crash model_best.
+    best_sidecar = best_path + ".loss.json"
     best_loss = float("inf")
+    if start_epoch > 1 and os.path.exists(best_sidecar):
+        with open(best_sidecar) as f:
+            best_loss = float(json.load(f)["best_loss"])
     history = {"epoch_loss": [], "steps_per_sec": []}
 
     from s1s2.utils.profiling import trace_context
@@ -176,6 +185,8 @@ def train_loop(
             best_loss = avg_loss
             if is_p0:
                 save_model(state.ema_params, best_path)
+                with open(best_sidecar, "w") as f:
+                    json.dump({"best_loss": best_loss, "epoch": epoch}, f)
         # EVERY process must enter save_state: orbax's Checkpointer.save is
         # a global barrier (multihost.sync_global_processes) and the primary
         # host does the actual write — a p0-only call wedges the other

@@ -125,3 +125,23 @@ class TestRichSynthetic:
                                        size=32, seed=5, mask_holes=False)
         err_rich, err_plain = fit_and_score(rich), fit_and_score(plain)
         assert err_rich < 0.5 * err_plain, (err_rich, err_plain)
+
+
+def test_rich_synthetic_supports_wide_cond(tmp_path):
+    """rich=True must handle c_cond > 4 (features extend with deterministic
+    harmonics) and stay bit-identical for c_cond=4 (committed rich sets)."""
+    import numpy as np
+
+    from s1s2.data.synthetic import make_synthetic_patches
+
+    d6 = tmp_path / "rich6"
+    make_synthetic_patches(str(d6), n=2, size=8, c_cond=6, rich=True)
+    z = np.load(str(d6 / "patch_000000.npz"))
+    assert z["inputs"].shape[0] == 6 and z["target"].shape[0] == 4
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    make_synthetic_patches(str(a), n=1, size=8, c_cond=4, rich=True, seed=3)
+    make_synthetic_patches(str(b), n=1, size=8, c_cond=4, rich=True, seed=3)
+    za, zb = np.load(str(a / "patch_000000.npz")), np.load(str(b / "patch_000000.npz"))
+    assert (za["target"] == zb["target"]).all()

@@ -153,3 +153,36 @@ def test_true_infer_eta_varies_per_seed(patch_dir, ckpt, tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 4
     assert all(float(r["MAE_std"]) > 0 for r in rows)
+
+
+class TestTypedKeyDispatch:
+    """New-style typed PRNG keys (jax.random.key): a (B,)-shaped typed key
+    batch must route through the per-file path and a scalar typed key
+    through the single-stream path — same outputs as raw uint32 keys."""
+
+    def test_typed_key_batch_matches_raw(self):
+        grid = round_unique_grid(80, 10, T)
+        x_init = scaled_noise_init(jax.random.PRNGKey(0), SHAPE, SCHED, 80)
+        raw = _per_file_keys([10, 11, 12, 13])
+        typed = jax.vmap(jax.random.wrap_key_data)(raw)
+        assert typed.ndim == 1  # batch of typed keys
+        out_raw = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, raw, SCHED, grid, Parameterization.V,
+            eta=0.5))
+        out_typed = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, typed, SCHED, grid, Parameterization.V,
+            eta=0.5))
+        np.testing.assert_array_equal(out_raw, out_typed)
+
+    def test_typed_scalar_key_matches_raw(self):
+        grid = round_unique_grid(80, 10, T)
+        x_init = scaled_noise_init(jax.random.PRNGKey(0), SHAPE, SCHED, 80)
+        raw = jax.random.PRNGKey(42)
+        typed = jax.random.wrap_key_data(raw)
+        out_raw = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, raw, SCHED, grid, Parameterization.V,
+            eta=0.5))
+        out_typed = np.asarray(ddim_grid_sample(
+            fake_denoise, x_init, typed, SCHED, grid, Parameterization.V,
+            eta=0.5))
+        np.testing.assert_array_equal(out_raw, out_typed)

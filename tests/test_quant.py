@@ -224,3 +224,47 @@ def test_quantize_cli_then_evaluate_int8_ckpt(tmp_path):
         "--t_start", "5", "--ddim_steps", "2", "--int8_ckpt", art,
     ])
     assert (tmp_path / "o" / "ddim_metrics.csv").exists()
+
+
+def test_make_sampler_calib_matches_inline_recipe():
+    """make_sampler_calib is the single definition of the historical inline
+    calibration loops (bench.py, score_distill_full, EvalContext._quantize);
+    committed verified MAEs depend on it staying byte-exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s1s2.core import Schedule
+    from s1s2.core.parametrize import q_sample
+    from s1s2.models.quant import make_sampler_calib
+
+    ab = Schedule.cosine(100).alpha_bar_np()
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (10, 8, 8, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (10, 8, 8, 4))
+
+    # fresh-noise recipe (key split once per tval, PRNGKey(5), first-8)
+    ref, key = [], jax.random.PRNGKey(5)
+    for tval in (99, 50, 20):
+        key, sub = jax.random.split(key)
+        x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
+                       float(np.sqrt(ab[tval])), float(np.sqrt(1.0 - ab[tval])))
+        ref.append((jnp.concatenate([x_t, cond[:8]], -1),
+                    jnp.full((8,), tval, jnp.int32)))
+    out = make_sampler_calib(gt, cond, ab, (99, 50, 20))
+    assert len(out) == len(ref)
+    for (a, t1), (b, t2) in zip(ref, out):
+        assert (a == b).all() and (t1 == t2).all()
+
+    # fixed-noise variant reuses the SAME noise at every tval and draws no key
+    noise = jax.random.normal(jax.random.PRNGKey(7), gt.shape)
+    out = make_sampler_calib(gt, cond, ab, (50, 20), noise=noise)
+    for (a, _), tval in zip(out, (50, 20)):
+        x_c = q_sample(gt[:8], noise[:8], float(np.sqrt(ab[tval])),
+                       float(np.sqrt(1.0 - ab[tval])))
+        assert (a == jnp.concatenate([x_c, cond[:8]], -1)).all()
+
+    # null_cond interleaves a zeroed-cond twin after each tval
+    out = make_sampler_calib(gt, cond, ab, (50,), n=6, null_cond=True)
+    assert len(out) == 2
+    assert (out[1][0][..., 4:] == 0).all()
+    assert (out[0][0][..., :4] == out[1][0][..., :4]).all()

@@ -114,3 +114,48 @@ def test_save_every_cadence(patch_dir, tmp_path, monkeypatch):
     last = [p for p in calls["model"] if p.endswith("_last.msgpack")]
     assert len(last) == 2
     assert os.path.exists(model_path)
+
+
+def test_resume_preserves_best_loss(patch_dir, tmp_path):
+    """A post-resume epoch with worse loss must NOT overwrite model_best:
+    best_loss survives the restart via the model_best sidecar json."""
+    from s1s2.cli.train import main as train_main
+    from s1s2.train.trainer import reference_artifact_paths
+
+    model_path = str(tmp_path / "m.msgpack")
+    state_dir = str(tmp_path / "state")
+    common = [
+        "--patch_dir", patch_dir, "--model_path", model_path,
+        "--T", "10", "--batch_size", "2", "--base_ch", "4",
+        "--compute_dtype", "float32", "--save_state_dir", state_dir,
+    ]
+    train_main(common + ["--epochs", "2"])
+    _, _, best_path = reference_artifact_paths(model_path)
+    sidecar = best_path + ".loss.json"
+    assert os.path.exists(sidecar)
+    with open(sidecar) as f:
+        best_before = json.load(f)["best_loss"]
+    best_bytes = open(best_path, "rb").read()
+
+    # poison the sidecar with a value no real epoch can beat, then resume:
+    # if best_loss were reset to inf on resume, model_best would be
+    # rewritten; with the sidecar restored it must stay byte-identical
+    with open(sidecar, "w") as f:
+        json.dump({"best_loss": -1.0, "epoch": 2}, f)
+    train_main(common + ["--epochs", "3", "--resume"])
+    assert open(best_path, "rb").read() == best_bytes
+    with open(sidecar) as f:
+        assert json.load(f)["best_loss"] == -1.0
+    del best_before
+
+
+def test_save_every_must_be_positive(patch_dir, tmp_path):
+    from s1s2.cli.train import main as train_main
+
+    with pytest.raises(ValueError, match="save_every"):
+        train_main([
+            "--patch_dir", patch_dir, "--model_path",
+            str(tmp_path / "z.msgpack"), "--T", "10", "--epochs", "1",
+            "--batch_size", "2", "--base_ch", "4", "--compute_dtype",
+            "float32", "--save_every", "0",
+        ])

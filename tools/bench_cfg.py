@@ -79,7 +79,9 @@ def main():
                                     jax.random.PRNGKey(0), schedule, grid,
                                     Parameterization.V)
 
-        gen(conds[0], noises[0]).block_until_ready()  # compile
+        # compile/warm on PERTURBED tensors so no timed dispatch repeats an
+        # already-executed arg set (CLAUDE.md measurement traps)
+        gen(conds[0] + 1.0, noises[0] - 1.0).block_until_ready()
         t0 = time.perf_counter()
         for i in range(args.iters):
             gen(conds[i], noises[i]).block_until_ready()

@@ -33,9 +33,9 @@ def main():
     import jax.numpy as jnp
 
     from s1s2.core import Schedule
-    from s1s2.core.parametrize import q_sample
     from s1s2.models import UNetSmall
-    from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+    from s1s2.models.quant import (make_quant_denoise_fn,
+                                   make_sampler_calib, quantize_unet)
     from s1s2.sampling import ddim_anchored
 
     H, W, CC, CT = 256, 256, 4, 4
@@ -46,17 +46,10 @@ def main():
     schedule = Schedule.cosine(1000)
     ab = schedule.alpha_bar_np()
 
-    calib = []
-    key = jax.random.PRNGKey(5)
     gt8 = jax.random.uniform(jax.random.PRNGKey(2), (8, H, W, CT))
     cond8 = jax.random.normal(jax.random.PRNGKey(3), (8, H, W, CC))
-    for tval in (args.t_start, args.t_start // 2, 20):
-        key, sub = jax.random.split(key)
-        x_t = q_sample(gt8, jax.random.normal(sub, gt8.shape),
-                       float(np.sqrt(ab[tval])), float(np.sqrt(1.0 - ab[tval])))
-        calib.append((jnp.concatenate([x_t, cond8], -1),
-                      jnp.full((8,), tval, jnp.int32)))
-    qp = quantize_unet(variables["params"], calib)
+    qp = quantize_unet(variables["params"], make_sampler_calib(
+        gt8, cond8, ab, (args.t_start, args.t_start // 2, 20)))
 
     @jax.jit
     def run(cond, gt, key):

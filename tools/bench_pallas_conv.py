@@ -55,9 +55,13 @@ def main():
                                 jnp.float32).astype(jnp.bfloat16)
               for i in range(args.variants)]
 
-        def chain(conv1, x, steps):
-            # Re-normalized conv chain: the carry changes every step, so
-            # nothing can be replayed; dispatch cost amortizes over `steps`.
+        def chain(conv1, x, s, steps):
+            # Re-normalized conv chain seeded by a per-call scalar `s`: the
+            # whole dispatch has distinct args every iteration, so the
+            # tunnel can never replay a previously executed chain
+            # (CLAUDE.md measurement traps); dispatch cost amortizes over
+            # `steps`.
+            x = x * (1.0 + s * 1e-6).astype(x.dtype)
             def body(h, _):
                 y = conv1(h)
                 y = y * jax.lax.rsqrt(
@@ -84,13 +88,13 @@ def main():
         row = {"shape": f"{B}x{H}x{H}x{C}", "tile_rows": R,
                "chain_steps": steps, "max_abs_diff_vs_xla": round(err, 5)}
         for name, fn in (("pallas", pallas_fn), ("xla", xla_fn)):
-            for x in xs:
-                fn(x).block_until_ready()  # warm every variant
+            fn(xs[0], jnp.float32(-1.0)).block_until_ready()  # compile
             t0 = time.perf_counter()
             n = 0
             for i in range(args.iters):
-                for x in xs:
-                    fn(x).block_until_ready()
+                for j, x in enumerate(xs):
+                    # distinct (x, s) per dispatch — never a replay
+                    fn(x, jnp.float32(i * len(xs) + j)).block_until_ready()
                     n += 1
             dt = (time.perf_counter() - t0) / n
             row[f"{name}_ms_per_conv"] = round(dt * 1e3 / steps, 3)

@@ -108,15 +108,11 @@ def main():
     fn = make_denoise_fn(model.apply, {"params": params}, cond)
     fns = {"": fn}
     if args.int8:
-        from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+        from s1s2.models.quant import (make_quant_denoise_fn,
+                                       make_sampler_calib, quantize_unet)
 
-        calib = []
-        for tval in (t_start, t_start // 2, 5):
-            x_c = q_sample(gt[:8], noise[:8], float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib.append((jnp.concatenate([x_c, cond[:8]], -1),
-                          jnp.full((x_c.shape[0],), tval, jnp.int32)))
-        qp = quantize_unet(params, calib)
+        qp = quantize_unet(params, make_sampler_calib(
+            gt, cond, ab, (t_start, t_start // 2, 5), noise=noise))
         fns["_int8"] = make_quant_denoise_fn(qp, cond)
 
     rows = {}

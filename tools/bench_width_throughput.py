@@ -31,9 +31,9 @@ def main():
     import jax.numpy as jnp
 
     from s1s2.core import Schedule
-    from s1s2.core.parametrize import q_sample
     from s1s2.models import UNetSmall
-    from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+    from s1s2.models.quant import (make_quant_denoise_fn,
+                                   make_sampler_calib, quantize_unet)
     from s1s2.sampling import ddim_anchored
 
     H, W, CC, CT = 256, 256, 4, 4
@@ -47,16 +47,8 @@ def main():
             jnp.zeros((1,), jnp.int32))
         cond = jax.random.normal(jax.random.PRNGKey(3), (8, H, W, CC))
         gt = jax.random.uniform(jax.random.PRNGKey(4), (8, H, W, CT))
-        calib = []
-        key = jax.random.PRNGKey(5)
-        for tval in (200, 100, 20):
-            key, sub = jax.random.split(key)
-            x_t = q_sample(gt, jax.random.normal(sub, gt.shape),
-                           float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib.append((jnp.concatenate([x_t, cond], -1),
-                          jnp.full((8,), tval, jnp.int32)))
-        qp = quantize_unet(variables["params"], calib)
+        qp = quantize_unet(variables["params"],
+                           make_sampler_calib(gt, cond, ab, (200, 100, 20)))
 
         @jax.jit
         def run(cond, gt, key, qp=qp):

@@ -131,21 +131,13 @@ def main():
                run(student, n_s, apply_fn=s_model.apply))
 
     if args.int8:
-        from s1s2.core.parametrize import q_sample
-        from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+        from s1s2.models.quant import (make_quant_denoise_fn,
+                                       make_sampler_calib, quantize_unet)
 
         ab = schedule.alpha_bar_np()
-        calib = []
-        ck = jax.random.PRNGKey(5)
         t_hi = min(max(args.t_start, 1), schedule.T - 1)
-        for tval in (t_hi, max(t_hi // 2, 1), 20):
-            ck, sub = jax.random.split(ck)
-            x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
-                           float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib.append((jnp.concatenate([x_t, cond[:8]], -1),
-                          jnp.full((8,), tval, jnp.int32)))
-        qp = quantize_unet(student, calib)
+        qp = quantize_unet(student, make_sampler_calib(
+            gt, cond, ab, (t_hi, max(t_hi // 2, 1), 20)))
         fn = make_quant_denoise_fn(qp, cond)
         score(f"student_ep_int8_ddim{n_s}",
               ddim_anchored(fn, gt, key, schedule, args.t_start, n_s,

@@ -32,7 +32,7 @@ def main():
                          "than the training/evidence set)")
     ap.add_argument("--t_start", type=int, default=200)
     ap.add_argument("--widths", type=int, nargs="+",
-                    default=[96, 64, 48, 32, 24])
+                    default=[96, 64, 48, 32, 24, 16])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -41,11 +41,11 @@ def main():
     import jax.numpy as jnp
 
     from s1s2.core import Schedule
-    from s1s2.core.parametrize import q_sample
     from s1s2.data.dataset import NpzPatchDataset
     from s1s2.eval import metrics as M
     from s1s2.models import UNetSmall
-    from s1s2.models.quant import make_quant_denoise_fn, quantize_unet
+    from s1s2.models.quant import (make_quant_denoise_fn,
+                                   make_sampler_calib, quantize_unet)
     from s1s2.sampling import ddim_anchored, make_denoise_fn
     from s1s2.train.checkpoint import load_params
 
@@ -82,16 +82,8 @@ def main():
         return row
 
     def make_calib(params_unused):
-        calib = []
-        ck = jax.random.PRNGKey(5)
-        for tval in (args.t_start, max(args.t_start // 2, 1), 20):
-            ck, sub = jax.random.split(ck)
-            x_t = q_sample(gt[:8], jax.random.normal(sub, gt[:8].shape),
-                           float(np.sqrt(ab[tval])),
-                           float(np.sqrt(1.0 - ab[tval])))
-            calib.append((jnp.concatenate([x_t, cond[:8]], -1),
-                          jnp.full((8,), tval, jnp.int32)))
-        return calib
+        return make_sampler_calib(
+            gt, cond, ab, (args.t_start, max(args.t_start // 2, 1), 20))
 
     def load(width, name):
         model = UNetSmall(out_ch=4, base_ch=width, compute_dtype=jnp.bfloat16)
