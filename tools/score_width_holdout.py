@@ -100,14 +100,11 @@ def main():
                                         cond),
                         gt, key, schedule, args.t_start, 20, noise=noise))
 
-    names = {96: "distill_eps_student1.bf16.msgpack",
-             64: "distill_eps_student64.bf16.msgpack",
-             48: "distill_eps_student48.bf16.msgpack",
-             32: "distill_eps_student32.bf16.msgpack",
-             24: "distill_eps_student24.bf16.msgpack",
-             16: "distill_eps_student16.bf16.msgpack"}
+    # base-96 is the original r2 step-distilled student ("student1");
+    # every narrower rung is archived as distill_eps_student{width}
     for w in args.widths:
-        model, params = load(w, names[w])
+        name = (f"distill_eps_student{'1' if w == 96 else w}.bf16.msgpack")
+        model, params = load(w, name)
         score(f"student{w}_ddim1",
               ddim_anchored(make_denoise_fn(model.apply, {"params": params},
                                             cond),
