@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "--student_init is given. Measured: the int8 "
                          "1-step path at base 64 runs ~1.9x the base-96 "
                          "headline (BENCH_NOTES.md 'Width scaling')")
+    ap.add_argument("--student_s2d", type=int, default=1,
+                    help="ARCHITECTURE distillation: give the student a "
+                         "space-to-depth stem of this factor (UNetSmall."
+                         "stem_s2d) — the body runs at (H/s, W/s) with a "
+                         "sub-pixel output head. At matched FLOPs "
+                         "(base_ch*s) this trades memory-bound full-res "
+                         "stages for MXU-friendly wide-channel ones. "
+                         "Implies endpoint-only, like --student_base_ch")
     ap.add_argument("--student_init", type=str, default=None,
                     help="checkpoint to INITIALIZE the student from (e.g. an "
                          "already-distilled student, for endpoint-only head "
@@ -141,16 +149,19 @@ def main(argv=None) -> None:
     log = lambda d: print(json.dumps(d), flush=True)
     phases = []
     student_model = model
-    width_change = (args.student_base_ch is not None
-                    and args.student_base_ch != args.base_ch)
+    width_change = ((args.student_base_ch is not None
+                     and args.student_base_ch != args.base_ch)
+                    or args.student_s2d != 1)
     if width_change:
         if not args.skip_progressive:
-            ap.error("--student_base_ch requires --skip_progressive: the "
-                     "progressive phases alternate teacher/student roles "
-                     "on one architecture; width distillation is an "
-                     "endpoint-only regression onto the teacher's map")
+            ap.error("--student_base_ch/--student_s2d require "
+                     "--skip_progressive: the progressive phases alternate "
+                     "teacher/student roles on one architecture; width/arch "
+                     "distillation is an endpoint-only regression onto the "
+                     "teacher's map")
         student_model = UNetSmall(
-            out_ch=Ct, base_ch=args.student_base_ch,
+            out_ch=Ct, base_ch=args.student_base_ch or args.base_ch,
+            stem_s2d=args.student_s2d,
             compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
             else jnp.float32)
         s_vars = student_model.init(
@@ -207,8 +218,9 @@ def main(argv=None) -> None:
         "endpoint_epochs": args.endpoint_epochs,
         "student_param": args.student_param,
         "guidance_scale": args.guidance_scale,
-        "student_base_ch": (args.student_base_ch if width_change
-                            else args.base_ch),
+        "student_base_ch": ((args.student_base_ch or args.base_ch)
+                            if width_change else args.base_ch),
+        "student_s2d": args.student_s2d,
     }))
 
 

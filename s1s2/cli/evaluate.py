@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--time_schedule", choices=["cosine", "linear"], default="cosine")
     ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="space-to-depth stem factor of the checkpoint "
+                         "(UNetSmall.stem_s2d; distill --student_s2d)")
     ap.add_argument("--pred_param", choices=["eps", "v"], default="eps")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_files", type=int, default=0, help="0 = ALL files")
@@ -104,6 +107,7 @@ def main(argv=None) -> None:
         T=args.T,
         schedule=args.time_schedule,
         base_ch=args.base_ch,
+        stem_s2d=args.s2d,
         pred_param=args.pred_param,
         batch_size=args.batch_size,
         max_files=args.max_files,

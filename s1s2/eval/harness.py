@@ -94,6 +94,7 @@ class EvalConfig:
     T: int = 1000
     schedule: str = "cosine"
     base_ch: int = 96
+    stem_s2d: int = 1  # UNetSmall.stem_s2d of the checkpoint (s2d students)
     pred_param: str = "eps"  # 'eps' | 'v'
     batch_size: int = 8
     max_files: int = 0
@@ -202,7 +203,8 @@ class EvalContext:
                                   devices=jax.devices()[: cfg.mesh_data])
         if cfg.ckpt or cfg.int8_ckpt:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-            self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch, compute_dtype=dtype)
+            self.model = UNetSmall(out_ch=self.Ct, base_ch=cfg.base_ch,
+                                   stem_s2d=cfg.stem_s2d, compute_dtype=dtype)
             if cfg.int8_ckpt:
                 from s1s2.models.quant import load_quant
 
@@ -254,7 +256,8 @@ class EvalContext:
             key=jax.random.PRNGKey(self.cfg.seed_base), n=n,
             null_cond=null_cond)
         return quantize_unet(self.variables["params"], calib,
-                             out_ch=self.Ct, base_ch=self.cfg.base_ch)
+                             out_ch=self.Ct, base_ch=self.cfg.base_ch,
+                             stem_s2d=self.cfg.stem_s2d)
 
     def shard_call(self, sampler):
         """Wrap a jitted sampler so its batch-major array args (ndim>=3)

@@ -48,6 +48,7 @@ class QuantParams:
     act_scale: Dict[str, float]  # conv input absmax/127, static
     out_ch: int = 4
     base_ch: int = 96
+    stem_s2d: int = 1  # space-to-depth stem factor (UNetSmall.stem_s2d)
 
 
 def _conv_names():
@@ -113,10 +114,16 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
     mode='int8': int8 blocks with static qp.act_scale."""
     params = qp.params
     dt = jnp.bfloat16
-    B, H, W, _ = x_and_cond.shape
+    s = qp.stem_s2d
+    xf = x_and_cond.astype(jnp.float32)
+    if s > 1:  # mirror UNetSmall's s2d stem (models/unet.py)
+        from s1s2.ops.pixel_shuffle import space_to_depth
+
+        xf = space_to_depth(xf, s)
+    B, H, W, _ = xf.shape
     t_map = jnp.broadcast_to(
         t_idx.astype(jnp.float32).reshape(B, 1, 1, 1), (B, H, W, 1))
-    x = jnp.concatenate([x_and_cond.astype(jnp.float32), t_map], -1).astype(dt)
+    x = jnp.concatenate([xf, t_map], -1).astype(dt)
 
     def block_conv(x, name):
         blk, c = name.split("/")
@@ -172,17 +179,22 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
     d1 = block(jnp.concatenate([u1, e1], -1), "conv1")
 
     out = _conv_bf16(d1, params["outc"]["kernel"], params["outc"]["bias"])
+    if s > 1:  # sub-pixel head back to full resolution
+        from s1s2.ops.pixel_shuffle import depth_to_space
+
+        out = depth_to_space(out, s)
     return out.astype(jnp.float32)
 
 
-def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96) -> Dict[str, float]:
+def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96,
+              stem_s2d: int = 1) -> Dict[str, float]:
     """absmax of every double-conv input over calibration batches.
 
     batches: iterable of (x_and_cond (B,H,W,Cc+Ct), t_idx (B,)) — use
     representative (cond, x_t, t) triples from the sampler's own range of
     timesteps for faithful activation ranges.
     """
-    qp = QuantParams(params, {}, {}, {}, out_ch, base_ch)
+    qp = QuantParams(params, {}, {}, {}, out_ch, base_ch, stem_s2d)
 
     @jax.jit
     def one(x, t):
@@ -238,16 +250,18 @@ def make_sampler_calib(gt, cond, alpha_bar, tvals, *, key=None, n: int = 8,
 
 
 def quantize_unet(params, calib_batches, out_ch: int = 4,
-                  base_ch: int = 96, quant_up: bool = False) -> QuantParams:
+                  base_ch: int = 96, quant_up: bool = False,
+                  stem_s2d: int = 1) -> QuantParams:
     """One-call post-training quantization of a trained UNetSmall.
 
     ``quant_up`` additionally runs the 2×2 transposed convs in int8 (they
     are ~10% of the FLOPs and the int8↔bf16 dtype boundary); default off —
     measure the MAE delta before enabling (tools/bench_int8.py --quant_up).
+    ``stem_s2d`` must match the checkpoint's UNetSmall.stem_s2d.
     """
     w8, bias = quantize_weights(params, quant_up=quant_up)
-    scales = calibrate(params, calib_batches, out_ch, base_ch)
-    return QuantParams(params, w8, bias, scales, out_ch, base_ch)
+    scales = calibrate(params, calib_batches, out_ch, base_ch, stem_s2d)
+    return QuantParams(params, w8, bias, scales, out_ch, base_ch, stem_s2d)
 
 
 def quant_apply(qp: QuantParams, x_and_cond, t_idx):
@@ -277,7 +291,8 @@ def save_quant(qp: QuantParams, path: str) -> None:
         "bias": {k: np.asarray(v) for k, v in qp.bias.items()},
         "act_scale": {k: np.float32(v) for k, v in qp.act_scale.items()},
         "meta": {"out_ch": np.int32(qp.out_ch),
-                 "base_ch": np.int32(qp.base_ch)},
+                 "base_ch": np.int32(qp.base_ch),
+                 "stem_s2d": np.int32(qp.stem_s2d)},
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(blob))
@@ -296,6 +311,7 @@ def load_quant(path: str) -> QuantParams:
         act_scale={k: float(v) for k, v in blob["act_scale"].items()},
         out_ch=int(blob["meta"]["out_ch"]),
         base_ch=int(blob["meta"]["base_ch"]),
+        stem_s2d=int(blob["meta"].get("stem_s2d", 1)),
     )
 
 

@@ -98,6 +98,16 @@ class UNetSmall(nn.Module):
     # rematerialize encoder/decoder blocks in the backward pass (trade ~30%
     # extra FLOPs for activation memory → larger train batches at 256²)
     remat: bool = False
+    # Space-to-depth stem factor s (1 = off, exact reference topology).
+    # s>1 folds each s×s input block onto the channel axis, runs the WHOLE
+    # UNet at (H/s, W/s), and restores full resolution with a sub-pixel
+    # (out_ch·s² 1×1 conv → depth-to-space) head. At matched FLOPs
+    # (base_ch·s vs base_ch) this trades the memory-/lane-bound
+    # full-resolution stages for MXU-friendly wide-channel ones — the
+    # narrow-width distilled students' throughput lever (BENCH_NOTES.md
+    # "s2d students"). Param tree keeps the same layer names; only inc /
+    # outc shapes change, so quant/convert plumbing is shared.
+    stem_s2d: int = 1
 
     def _block(self, features, name):
         cls = nn.remat(_DoubleConv) if self.remat else _DoubleConv
@@ -114,14 +124,23 @@ class UNetSmall(nn.Module):
     def __call__(self, x_and_cond: jnp.ndarray, t_idx: jnp.ndarray) -> jnp.ndarray:
         b = self.base_ch
         dt = self.compute_dtype
+        s = self.stem_s2d
         B, H, W, _ = x_and_cond.shape
 
-        # Raw integer timestep as a constant channel. Cast to f32 FIRST so the
-        # integer is exact, then to compute dtype (matches reference .float()).
+        xf = x_and_cond.astype(jnp.float32)
+        if s > 1:
+            from s1s2.ops.pixel_shuffle import space_to_depth
+
+            xf = space_to_depth(xf, s)  # (B, H/s, W/s, C·s²)
+
+        # Raw integer timestep as ONE constant channel (at body resolution).
+        # Cast to f32 FIRST so the integer is exact, then to compute dtype
+        # (matches reference .float()).
+        Hb, Wb = xf.shape[1:3]
         t_map = jnp.broadcast_to(
-            t_idx.astype(jnp.float32).reshape(B, 1, 1, 1), (B, H, W, 1)
+            t_idx.astype(jnp.float32).reshape(B, 1, 1, 1), (B, Hb, Wb, 1)
         )
-        x = jnp.concatenate([x_and_cond.astype(jnp.float32), t_map], axis=-1)
+        x = jnp.concatenate([xf, t_map], axis=-1)
         x = x.astype(dt)
 
         # Encoder — `inc`/`down1..3` (`Train_Orignal.py:110-113`)
@@ -148,9 +167,15 @@ class UNetSmall(nn.Module):
             jnp.concatenate([u1, e1], axis=-1)
         )
 
-        # 1×1 output head — prediction leaves in float32 for the loss/sampler
-        out = nn.Conv(self.out_ch, (1, 1), dtype=dt,
+        # 1×1 output head — prediction leaves in float32 for the loss/sampler.
+        # With an s2d stem the head is sub-pixel: out_ch·s² channels at body
+        # resolution, then depth-to-space back to (H, W, out_ch).
+        out = nn.Conv(self.out_ch * s * s, (1, 1), dtype=dt,
                       param_dtype=jnp.float32, name="outc")(d1)
+        if s > 1:
+            from s1s2.ops.pixel_shuffle import depth_to_space
+
+            out = depth_to_space(out, s)
         return out.astype(jnp.float32)
 
 

@@ -22,6 +22,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B,H,W,C) → (B,H/s,W/s,s·s·C), block-major (di,dj,c) channel order.
+
+    TPU rationale: folds an s×s spatial block onto the channel (lane) axis,
+    so a narrow-channel full-resolution tensor becomes a wider reduced-
+    resolution one — better MXU lane utilization for the convs that follow
+    and s² fewer VPU positions for their elementwise tails. Inverse of
+    ``depth_to_space`` (round-trip tested in tests/test_ops.py)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // s, s, W // s, s, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, s * s * C)
+
+
+def depth_to_space(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B,H,W,s·s·C) → (B,s·H,s·W,C) — inverse of ``space_to_depth``
+    (same block-major (di,dj,c) channel order)."""
+    B, H, W, K = x.shape
+    C = K // (s * s)
+    x = x.reshape(B, H, W, s, s, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, C)
+
+
 def ps_conv_transpose_2x2(x: jnp.ndarray, kernel: jnp.ndarray,
                           bias: jnp.ndarray) -> jnp.ndarray:
     """x (B,H,W,Ci), kernel (2,2,Ci,Co) [flax ConvTranspose layout],

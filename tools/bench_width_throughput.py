@@ -1,4 +1,4 @@
-"""Throughput probe: int8 1-step anchored DDIM vs UNet width (base_ch).
+"""Throughput probe: int8 1-step anchored DDIM vs UNet width / s2d stem.
 
 Motivates width distillation: the base-96 distilled-1+int8 headline is at
 ~98% of its int8 roofline, so further speedup must come from a smaller
@@ -7,7 +7,12 @@ student. Measures patches/s for base_ch in {96, 64, 48} (channels scale
 independent), varied inputs per iteration (tunnel replay pitfall,
 BENCH_NOTES.md).
 
-Usage: python tools/bench_width_throughput.py [--widths 96 64 48]
+Width specs are BASE or BASExS (s2d stem factor, UNetSmall.stem_s2d):
+``--widths 12 24x2 48x4`` probes base-12 at full res, base-24 on a 2x
+space-to-depth stem, base-48 on a 4x stem — the latter two match base-12's
+FLOPs but run s x wider channels at (256/s)^2 body resolution.
+
+Usage: python tools/bench_width_throughput.py [--widths 96 64 48 24x2]
 """
 
 import argparse
@@ -21,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--widths", type=int, nargs="+", default=[96, 64, 48])
+    ap.add_argument("--widths", type=str, nargs="+", default=["96", "64", "48"],
+                    help="BASE or BASExS (S = s2d stem factor)")
     ap.add_argument("--batches", type=int, nargs="+", default=[64, 128])
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
@@ -40,15 +46,19 @@ def main():
     schedule = Schedule.cosine(1000)
     ab = schedule.alpha_bar_np()
 
-    for base in args.widths:
-        model = UNetSmall(out_ch=CT, base_ch=base, compute_dtype=jnp.bfloat16)
+    for spec in args.widths:
+        base, _, s2d_s = spec.partition("x")
+        base, s2d = int(base), int(s2d_s or 1)
+        model = UNetSmall(out_ch=CT, base_ch=base, stem_s2d=s2d,
+                          compute_dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
             jnp.zeros((1,), jnp.int32))
         cond = jax.random.normal(jax.random.PRNGKey(3), (8, H, W, CC))
         gt = jax.random.uniform(jax.random.PRNGKey(4), (8, H, W, CT))
         qp = quantize_unet(variables["params"],
-                           make_sampler_calib(gt, cond, ab, (200, 100, 20)))
+                           make_sampler_calib(gt, cond, ab, (200, 100, 20)),
+                           stem_s2d=s2d)
 
         @jax.jit
         def run(cond, gt, key, qp=qp):
@@ -70,7 +80,8 @@ def main():
             out.block_until_ready()
             pps = B * args.iters / (time.perf_counter() - t0)
             print(json.dumps({
-                "base_ch": base, "batch": B, "params_m": round(n_par / 1e6, 2),
+                "base_ch": base, "s2d": s2d, "batch": B,
+                "params_m": round(n_par / 1e6, 2),
                 "distill1_int8_patches_per_s": round(pps, 1),
             }), flush=True)
 

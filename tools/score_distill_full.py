@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--student_base_ch", type=int, default=96,
                     help="student UNet width (width-distilled students, "
                     "distill --student_base_ch)")
+    ap.add_argument("--student_s2d", type=int, default=1,
+                    help="student's space-to-depth stem factor (matches "
+                    "distill --student_s2d)")
     ap.add_argument("--out", default=None, help="write rows to this JSONL")
     args = ap.parse_args()
 
@@ -67,8 +70,10 @@ def main():
     gt = jnp.asarray(np.stack(gts))
     mask = jnp.asarray(np.stack(masks))
 
-    s_model = (model if args.student_base_ch == 96 else
+    s_model = (model
+               if args.student_base_ch == 96 and args.student_s2d == 1 else
                UNetSmall(out_ch=4, base_ch=args.student_base_ch,
+                         stem_s2d=args.student_s2d,
                          compute_dtype=jnp.bfloat16))
 
     def make_tmpl(m):
@@ -137,7 +142,8 @@ def main():
         ab = schedule.alpha_bar_np()
         t_hi = min(max(args.t_start, 1), schedule.T - 1)
         qp = quantize_unet(student, make_sampler_calib(
-            gt, cond, ab, (t_hi, max(t_hi // 2, 1), 20)))
+            gt, cond, ab, (t_hi, max(t_hi // 2, 1), 20)),
+            stem_s2d=args.student_s2d)
         fn = make_quant_denoise_fn(qp, cond)
         score(f"student_ep_int8_ddim{n_s}",
               ddim_anchored(fn, gt, key, schedule, args.t_start, n_s,

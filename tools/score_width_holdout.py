@@ -31,8 +31,10 @@ def main():
                     help="held-out patch dir (different make_synthetic seed "
                          "than the training/evidence set)")
     ap.add_argument("--t_start", type=int, default=200)
-    ap.add_argument("--widths", type=int, nargs="+",
-                    default=[96, 64, 48, 32, 24, 16])
+    ap.add_argument("--widths", type=str, nargs="+",
+                    default=["96", "64", "48", "32", "24", "16"],
+                    help="BASE or BASExS (S = s2d stem factor; ckpt name "
+                         "distill_eps_student{BASExS})")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -85,8 +87,9 @@ def main():
         return make_sampler_calib(
             gt, cond, ab, (args.t_start, max(args.t_start // 2, 1), 20))
 
-    def load(width, name):
-        model = UNetSmall(out_ch=4, base_ch=width, compute_dtype=jnp.bfloat16)
+    def load(width, name, s2d=1):
+        model = UNetSmall(out_ch=4, base_ch=width, stem_s2d=s2d,
+                          compute_dtype=jnp.bfloat16)
         tmpl = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1,) + gt.shape[1:3] + (8,),
                                              jnp.float32),
@@ -102,15 +105,18 @@ def main():
 
     # base-96 is the original r2 step-distilled student ("student1");
     # every narrower rung is archived as distill_eps_student{width}
-    for w in args.widths:
-        name = (f"distill_eps_student{'1' if w == 96 else w}.bf16.msgpack")
-        model, params = load(w, name)
-        score(f"student{w}_ddim1",
+    for spec in args.widths:
+        w_s, _, s2d_s = str(spec).partition("x")
+        w, s2d = int(w_s), int(s2d_s or 1)
+        tag = "1" if (w == 96 and s2d == 1) else str(spec)
+        name = f"distill_eps_student{tag}.bf16.msgpack"
+        model, params = load(w, name, s2d)
+        score(f"student{spec}_ddim1",
               ddim_anchored(make_denoise_fn(model.apply, {"params": params},
                                             cond),
                             gt, key, schedule, args.t_start, 1, noise=noise))
-        qp = quantize_unet(params, make_calib(params))
-        score(f"student{w}_int8_ddim1",
+        qp = quantize_unet(params, make_calib(params), stem_s2d=s2d)
+        score(f"student{spec}_int8_ddim1",
               ddim_anchored(make_quant_denoise_fn(qp, cond),
                             gt, key, schedule, args.t_start, 1, noise=noise))
 
