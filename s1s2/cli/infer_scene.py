@@ -49,6 +49,10 @@ def main(argv=None) -> None:
                          "(scene.make_device_stitcher): predictions never "
                          "download per batch, only the final scene once — "
                          "removes the single-core numpy stitch stage")
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="checkpoint's UNetSmall.stem_s2d factor (1 = "
+                         "reference topology; s2d-distilled students run "
+                         "their body at patch_size/s2d resolution)")
     ap.add_argument("--int8", action="store_true",
                     help="quantized int8 inference (models/quant.py); "
                          "calibrated on the scene's first tile batch")
@@ -77,7 +81,8 @@ def main(argv=None) -> None:
         scene = np.transpose(scene, (1, 2, 0))  # CHW → HWC
     mask = np.load(args.mask).astype(np.float32) if args.mask else None
 
-    model = UNetSmall(out_ch=args.out_ch, base_ch=args.base_ch)
+    model = UNetSmall(out_ch=args.out_ch, base_ch=args.base_ch,
+                      stem_s2d=args.s2d)
     schedule = Schedule.cosine(args.T)
     param = Parameterization(args.pred_param)
 
@@ -124,7 +129,7 @@ def main(argv=None) -> None:
             calib.append((jnp.concatenate([jnp.asarray(x_t), cond_c], -1),
                           jnp.full((n,), tval, jnp.int32)))
         qp = quantize_unet(variables["params"], calib, out_ch=args.out_ch,
-                           base_ch=args.base_ch)
+                           base_ch=args.base_ch, stem_s2d=args.s2d)
 
     @jax.jit
     def predict_batch(cond_b, noise_b):

@@ -21,6 +21,9 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True, help="output .int8.msgpack")
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="checkpoint's UNetSmall.stem_s2d factor (stored in "
+                         "the int8 artifact's meta; 1 = reference topology)")
     ap.add_argument("--t_start", type=int, default=200,
                     help="top of the calibration timestep spread")
     ap.add_argument("--n_calib", type=int, default=8)
@@ -46,7 +49,8 @@ def main(argv=None) -> None:
     else:
         from s1s2.train.checkpoint import load_model
 
-        model = UNetSmall(out_ch=Ct, base_ch=args.base_ch)
+        model = UNetSmall(out_ch=Ct, base_ch=args.base_ch,
+                          stem_s2d=args.s2d)
         template = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, H, W, Cc + Ct)),
             jnp.zeros((1,), jnp.int32))["params"]
@@ -70,7 +74,8 @@ def main(argv=None) -> None:
         calib.append((jnp.concatenate([x_t, jnp.zeros_like(cond)], -1),
                       jnp.full((n,), tval, jnp.int32)))  # CFG null-cond too
 
-    qp = quantize_unet(params, calib, out_ch=Ct, base_ch=args.base_ch)
+    qp = quantize_unet(params, calib, out_ch=Ct, base_ch=args.base_ch,
+                       stem_s2d=args.s2d)
     save_quant(qp, args.out)
     print(json.dumps({"out": args.out, "conv_scales": len(qp.act_scale),
                       "calib_files": n}))

@@ -149,6 +149,61 @@ def test_distill_cli_student_s2d(tmp_path):
         cli_distill.main(bad)
 
 
+def test_quantize_cli_s2d(tmp_path):
+    """quantize --s2d writes an int8 artifact whose meta preserves the stem
+    factor, and evaluate --int8_ckpt serves it without recalibration."""
+    from s1s2.cli import quantize as cli_quant
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.models.quant import load_quant, quant_apply
+    from s1s2.train.checkpoint import save_model
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=0)
+    model = UNetSmall(out_ch=4, base_ch=8, stem_s2d=2,
+                      compute_dtype=jnp.float32)
+    ckpt = str(tmp_path / "s2d.msgpack")
+    save_model(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"], ckpt)
+
+    out = str(tmp_path / "s2d.int8.msgpack")
+    cli_quant.main(["--ckpt", ckpt, "--patch_dir", patches, "--out", out,
+                    "--base_ch", "8", "--s2d", "2", "--T", "50",
+                    "--t_start", "25", "--n_calib", "2"])
+    qp = load_quant(out)
+    assert qp.stem_s2d == 2
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 8), jnp.float32)
+    pred = np.asarray(quant_apply(qp, x, jnp.zeros((1,), jnp.int32)))
+    assert pred.shape == (1, 16, 16, 4) and np.isfinite(pred).all()
+
+
+def test_infer_scene_cli_s2d(tmp_path):
+    """infer_scene --s2d runs an s2d checkpoint over a tiled scene (int8
+    calibration included) and writes a finite stitched prediction."""
+    from s1s2.cli import infer_scene as cli_scene
+    from s1s2.train.checkpoint import save_model
+
+    model = UNetSmall(out_ch=4, base_ch=8, stem_s2d=2,
+                      compute_dtype=jnp.float32)
+    ckpt = str(tmp_path / "s2d.msgpack")
+    save_model(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8), jnp.float32),
+        jnp.zeros((1,), jnp.int32))["params"], ckpt)
+    scene = np.random.default_rng(0).normal(
+        size=(24, 24, 4)).astype(np.float32)
+    np.save(str(tmp_path / "scene.npy"), scene)
+
+    out_dir = str(tmp_path / "out")
+    cli_scene.main([
+        "--scene", str(tmp_path / "scene.npy"), "--ckpt", ckpt,
+        "--out_dir", out_dir, "--base_ch", "8", "--s2d", "2", "--T", "50",
+        "--t_start", "25", "--ddim_steps", "2", "--patch_size", "16",
+        "--stride", "8", "--batch_size", "2", "--int8",
+    ])
+    pred = np.load(f"{out_dir}/scene_pred.npy")
+    assert pred.shape == (4, 24, 24) and np.isfinite(pred).all()
+
+
 def test_evaluate_cli_s2d(tmp_path):
     """evaluate --s2d drives the harness (bf16-quant path included) on an
     s2d checkpoint."""
