@@ -7,6 +7,7 @@ from s1s2.parallel.mesh import (
     shard_batch,
     shard_predict_batch,
     shard_train_step,
+    tp_sharding_tree,
     initialize_distributed,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "shard_batch",
     "shard_predict_batch",
     "shard_train_step",
+    "tp_sharding_tree",
     "initialize_distributed",
 ]

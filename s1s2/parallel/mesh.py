@@ -48,17 +48,23 @@ def initialize_distributed(**kw) -> None:
 def make_mesh(
     data: Optional[int] = None,
     space: int = 1,
+    model: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ('data', 'space') mesh. Default: all devices on the data axis."""
+    """Build a ('data', 'space'[, 'model']) mesh. Default: all devices on
+    the data axis. ``model > 1`` adds a tensor-parallel axis (conv channels
+    shard over it — see :func:`tp_sharding_tree`)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // space
-    if data * space != n:
-        raise ValueError(f"mesh {data}x{space} != {n} devices")
-    arr = np.asarray(devices).reshape(data, space)
-    return Mesh(arr, axis_names=("data", "space"))
+        data = n // (space * model)
+    if data * space * model != n:
+        raise ValueError(f"mesh {data}x{space}x{model} != {n} devices")
+    if model == 1:
+        return Mesh(np.asarray(devices).reshape(data, space),
+                    axis_names=("data", "space"))
+    return Mesh(np.asarray(devices).reshape(data, space, model),
+                axis_names=("data", "space", "model"))
 
 
 def make_mesh_for_batch(batch_size: int, space: int = 1,
@@ -123,17 +129,51 @@ def shard_predict_batch(predict_batch, mesh: Mesh):
     return wrapped
 
 
-def shard_train_step(step_fn, mesh: Mesh, spatial: bool = False):
-    """jit a ``step(state, batch, key)`` with replicated state and
-    data-sharded batch; XLA inserts the grad psum over ICI."""
+def tp_sharding_tree(tree, mesh: Mesh, axis: str = "model"):
+    """NamedSharding pytree for tensor parallelism: every array leaf whose
+    last dimension divides the mesh's ``model`` size shards that dimension
+    over it; everything else replicates.
+
+    For the UNet this is channel parallelism: conv kernels (kh,kw,cin,cout)
+    and their biases split cout N-way, so each device holds and computes
+    1/N of every feature map's channels. GSPMD keeps the program correct
+    for ANY annotation — it inserts the activation all-gathers where a
+    consumer needs full channels — so one uniform rule covers params, EMA
+    and the AdamW mu/nu tree (which mirrors params). Applied to a
+    TrainState it also leaves scalars (step, skip counter) replicated."""
+    m = mesh.shape.get(axis, 1)
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] >= m > 1
+                and x.shape[-1] % m == 0):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_train_step(step_fn, mesh: Mesh, spatial: bool = False,
+                     state_template=None):
+    """jit a ``step(state, batch, key)`` with data-sharded batch; XLA
+    inserts the grad psum over ICI. State is replicated by default; on a
+    mesh with a ``model`` axis pass ``state_template`` (the TrainState, for
+    its pytree structure/shapes) and params + optimizer state shard over
+    that axis too (tensor parallel — each device keeps 1/model of every
+    conv's output channels and XLA partitions the matching compute)."""
     repl = replicated(mesh)
+    if mesh.shape.get("model", 1) > 1:
+        if state_template is None:
+            raise ValueError("model-parallel mesh needs state_template")
+        sshard = tp_sharding_tree(state_template, mesh)
+    else:
+        sshard = repl
     # P shorter than ndim leaves trailing dims replicated, so one spec fits
     # both (B,H,W,C) images and the (B,H,W) mask
     spec = P("data", "space") if spatial else P("data")
     bshard = tuple(NamedSharding(mesh, spec) for _ in range(3))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, bshard, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(sshard, bshard, repl),
+        out_shardings=(sshard, repl),
         donate_argnums=(0,),
     )
