@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decompress the npz dataset ONCE into mmap'd .npy "
                          "files here; later epochs read zero-copy")
     ap.add_argument("--spatial_shard", action="store_true")
+    ap.add_argument("--model_shard", type=int, default=1,
+                    help="tensor-parallel 'model' mesh axis: shard conv "
+                         "output channels + optimizer state over N devices "
+                         "(parallel.tp_sharding_tree)")
     ap.add_argument("--log_every", type=int, default=50)
     # multi-process (multi-host) bring-up — s1s2 extension, SURVEY §2.3
     ap.add_argument("--coordinator", type=str, default=None,
@@ -134,6 +138,7 @@ def main(argv=None) -> None:
         save_every=args.save_every,
         resume=args.resume,
         spatial_shard=args.spatial_shard,
+        model_shard=args.model_shard,
         compute_dtype=args.compute_dtype,
         profile_dir=args.profile_dir,
         metrics_jsonl=args.metrics_jsonl,

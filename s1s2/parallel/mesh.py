@@ -67,19 +67,20 @@ def make_mesh(
                 axis_names=("data", "space", "model"))
 
 
-def make_mesh_for_batch(batch_size: int, space: int = 1,
+def make_mesh_for_batch(batch_size: int, space: int = 1, model: int = 1,
                         devices: Optional[Sequence] = None) -> Mesh:
     """Mesh whose data axis is the largest device count that divides the
     global batch (a 17M-param model never needs more than DP; leftover
     devices idle rather than fail)."""
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices) // space
+    n = len(devices) // (space * model)
     data = 1
     for d in range(n, 0, -1):
         if batch_size % d == 0:
             data = d
             break
-    return make_mesh(data=data, space=space, devices=devices[: data * space])
+    return make_mesh(data=data, space=space, model=model,
+                     devices=devices[: data * space * model])
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -47,6 +47,7 @@ class RunConfig:
     save_state_dir: Optional[str] = None  # orbax resume dir
     resume: bool = False  # restore params+opt+EMA+step from save_state_dir
     spatial_shard: bool = False
+    model_shard: int = 1  # tensor-parallel 'model' axis (parallel/mesh.py)
     compute_dtype: str = "bfloat16"
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 1
     metrics_jsonl: Optional[str] = None  # structured metrics sink
@@ -109,9 +110,11 @@ def train_loop(
                           "resumed_at_epoch": start_epoch})
 
     mesh = make_mesh_for_batch(run.batch_size,
-                               space=2 if run.spatial_shard else 1)
+                               space=2 if run.spatial_shard else 1,
+                               model=run.model_shard)
     step = shard_train_step(make_train_step(model.apply, schedule, cfg), mesh,
-                            spatial=run.spatial_shard)
+                            spatial=run.spatial_shard,
+                            state_template=state)
     key = jax.random.PRNGKey(run.seed + 1)
 
     final_path, last_path, best_path = reference_artifact_paths(run.model_path)

@@ -92,6 +92,33 @@ def test_tp_train_step_matches_replicated():
     assert shard[-1] == k.shape[-1] // 4
 
 
+def test_train_cli_model_shard(tmp_path):
+    """train --model_shard 2 runs the full CLI loop with TP-sharded state
+    (composed with whatever data axis fits the batch) and saves a loadable
+    checkpoint."""
+    from s1s2.cli import train as cli_train
+    from s1s2.data.synthetic import make_synthetic_patches
+    from s1s2.train.checkpoint import load_model
+
+    patches = str(tmp_path / "patches")
+    make_synthetic_patches(patches, n=4, size=16, seed=0)
+    model_path = str(tmp_path / "m.msgpack")
+    cli_train.main([
+        "--patch_dir", patches, "--model_path", model_path, "--T", "10",
+        "--epochs", "1", "--batch_size", "2", "--base_ch", "8",
+        "--compute_dtype", "float32", "--model_shard", "2",
+    ])
+    model = UNetSmall(out_ch=4, base_ch=8, compute_dtype=jnp.float32)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 8), jnp.float32),
+                          jnp.zeros((1,), jnp.int32))["params"]
+    params = load_model(template, model_path)
+    out = model.apply({"params": params},
+                      jnp.zeros((1, 16, 16, 8), jnp.float32),
+                      jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_tp_sampler_matches_single_device():
     schedule, model, cfg, state, batch = _setup()
     from jax.sharding import NamedSharding, PartitionSpec as P
