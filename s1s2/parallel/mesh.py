@@ -2,11 +2,13 @@
 had (SURVEY.md §2.3: single-process, single-device; no NCCL/MPI anywhere).
 
 TPU-native design:
-* one logical mesh with axes ``('data', 'space')`` over ICI. Batches shard
-  over ``data``; optionally the image H dimension shards over ``space``
-  (XLA's SPMD partitioner inserts the halo exchanges for the 3×3 convs
-  automatically — the TPU analog of the reference's "spatial tiling is done
-  offline in Patch.py" scale story).
+* one logical mesh with axes ``('data', 'space'[, 'model'])`` over ICI.
+  Batches shard over ``data``; optionally the image H dimension shards over
+  ``space`` (XLA's SPMD partitioner inserts the halo exchanges for the 3×3
+  convs automatically — the TPU analog of the reference's "spatial tiling is
+  done offline in Patch.py" scale story); optionally conv output channels +
+  optimizer moments shard over ``model`` (tensor parallel,
+  :func:`tp_sharding_tree`).
 * gradients/EMA are NOT manually all-reduced: the train step is jitted with
   replicated state sharding and batch-sharded data, so XLA emits the psum
   over ICI itself (the "let-the-compiler-insert-collectives" recipe).
