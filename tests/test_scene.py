@@ -145,6 +145,41 @@ class TestDeviceStitch:
                           pipeline=3, stitch="device")
         np.testing.assert_allclose(dev, host, rtol=0, atol=1e-5)
 
+    def test_stitcher_jit_cached_across_scenes(self):
+        """A fresh jit closure per infer_scene call recompiled the stitch
+        scan every scene (~1.4 s on the remote-compile runtime); the
+        compiled executable must be shared per (ps, out_ch) signature."""
+        from s1s2.eval import scene as scene_mod
+
+        win = scene_mod.feather_window(32)
+        scene_mod.make_device_stitcher(32, 4, win)
+        n = len(scene_mod._STITCH_CACHE)
+        scene_mod.make_device_stitcher(32, 4, win)
+        assert len(scene_mod._STITCH_CACHE) == n
+        scene_mod.make_device_stitcher(16, 4, win[:16, :16])
+        assert len(scene_mod._STITCH_CACHE) == n + 1
+
+    def test_device_stitch_f16_final_download(self):
+        """With a wire dtype set, the scene-sized accumulator comes back
+        f16 (the last remaining transfer); values stay within f16 rounding
+        of the host stitch."""
+        import jax.numpy as jnp
+
+        def pred(cond_b, noise_b):
+            return jnp.asarray(cond_b, jnp.float32)[..., :4] * 0.5 + 0.1
+
+        rng = np.random.default_rng(5)
+        scene = rng.standard_normal((64, 80, 4)).astype(np.float32)
+        host = infer_scene(pred, scene, out_ch=4, ps=32, stride=24,
+                           batch_size=3, stitch="host")
+        dev = infer_scene(pred, scene, out_ch=4, ps=32, stride=24,
+                          batch_size=3, stitch="device",
+                          transfer_dtype=np.float16)
+        assert dev.dtype == np.float32
+        # tolerance covers BOTH wire precisions: the f16 cond upload feeds
+        # the predictor and the accumulator returns f16
+        np.testing.assert_allclose(dev, host, rtol=1e-2, atol=1e-2)
+
     def test_bad_stitch_value_raises(self):
         with pytest.raises(ValueError):
             infer_scene(lambda c, n: c, np.zeros((32, 32, 4), np.float32),
