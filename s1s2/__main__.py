@@ -16,6 +16,7 @@ COMMANDS = {
     "make_synthetic": "s1s2.cli.make_synthetic",
     "quantize": "s1s2.cli.quantize",
     "distill": "s1s2.cli.distill",
+    "serve": "s1s2.cli.serve",
 }
 
 

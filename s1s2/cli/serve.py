@@ -1,0 +1,281 @@
+"""Production inference server: S1 conditioning in, S2 prediction out.
+
+    python -m s1s2 serve --int8_ckpt student.int8.msgpack --port 8080 \
+        [--t_start 999 --steps 1 --pred_param v]
+
+The reference ships batch scripts only; this is the deployment surface a
+production user needs (SURVEY.md §5 has no serving analog — extension).
+Serves the pure-generation path (the same sampler stack as ``infer_scene``,
+`Evaluation_Updated/Evaluation_Pure_Generation.py:278-292` semantics):
+noise is drawn on the device per request seed, the sampler runs fused
+under one jit, and the predictor compiles ONCE at startup for a fixed
+(batch, patch) signature — requests of any batch size are chunked and
+padded to it, so serving latency never pays a recompile.
+
+Protocol (stdlib HTTP, zero extra dependencies):
+
+* ``GET /healthz`` → JSON: model config + the startup warmup time.
+* ``POST /infer`` → body is an ``.npz`` with key ``cond`` shaped
+  (B,H,W,Cc), (H,W,Cc) or channels-first (Cc,H,W); optional scalar
+  ``seed``. Response is ``.npy`` bytes: (B,H,W,out_ch) float32.
+
+Checkpoints: ``--ckpt`` (bf16 msgpack / reference .pth / orbax dir) or
+``--int8_ckpt`` (the self-describing artifact written by
+``python -m s1s2 quantize`` — base_ch / s2d topology read from its meta).
+"""
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("s1s2 serve")
+    ap.add_argument("--ckpt", default=None,
+                    help="bf16 checkpoint (.msgpack/.pth/orbax dir)")
+    ap.add_argument("--int8_ckpt", default=None,
+                    help="prequantized artifact from `s1s2 quantize` "
+                         "(topology self-described; overrides --ckpt)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080,
+                    help="0 = ephemeral (actual port printed on startup)")
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--base_ch", type=int, default=96)
+    ap.add_argument("--s2d", type=int, default=1)
+    ap.add_argument("--cond_ch", type=int, default=4)
+    ap.add_argument("--out_ch", type=int, default=4)
+    ap.add_argument("--pred_param", choices=["eps", "v"], default="v")
+    ap.add_argument("--t_start", type=int, default=999)
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--solver", choices=["ddim", "dpm2m"], default="ddim")
+    ap.add_argument("--guidance_scale", type=float, default=None)
+    ap.add_argument("--patch_size", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=16,
+                    help="compiled batch signature; requests are chunked "
+                         "and padded to it")
+    return ap
+
+
+def make_predictor(args):
+    """Jitted (cond (B,ps,ps,Cc) f32, seed ()) -> (B,ps,ps,out_ch) f32.
+
+    Pure generation from device-drawn unit noise, mirroring the
+    ``infer_scene --fast_transfer`` path (noise deterministic per
+    (seed, batch-slot)).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from s1s2.core import Parameterization, Schedule
+    from s1s2.sampling import (
+        ddim_grid_sample,
+        make_cfg_denoise_fn,
+        make_denoise_fn,
+        round_unique_grid,
+    )
+
+    schedule = Schedule.cosine(args.T)
+    param = Parameterization(args.pred_param)
+    grid = round_unique_grid(args.t_start, args.steps, args.T)
+    ab = float(schedule.alpha_bar_np()[min(max(args.t_start, 1), args.T - 1)])
+    vscale = float(np.sqrt(1.0 - ab))
+
+    qp = None
+    if args.int8_ckpt:
+        from s1s2.models.quant import load_quant
+
+        qp = load_quant(args.int8_ckpt)
+        args.base_ch, args.s2d = qp.base_ch, qp.stem_s2d
+        args.out_ch = qp.out_ch
+        model, variables = None, None
+    else:
+        from s1s2.models import UNetSmall
+        from s1s2.train.checkpoint import load_params
+
+        model = UNetSmall(out_ch=args.out_ch, base_ch=args.base_ch,
+                          stem_s2d=args.s2d)
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.patch_size, args.patch_size,
+                       args.cond_ch + args.out_ch)),
+            jnp.zeros((1,), jnp.int32))["params"]
+        variables = {"params": load_params(args.ckpt, template=template)}
+
+    ps = args.patch_size
+
+    @jax.jit
+    def predict(cond_b, seed):
+        cond_b = cond_b.astype(jnp.float32)
+        noise = jax.vmap(
+            lambda s: jax.random.normal(
+                jax.random.PRNGKey(s), (ps, ps, args.out_ch), jnp.float32)
+        )(seed + jnp.arange(cond_b.shape[0], dtype=jnp.int32))
+        if qp is not None:
+            from s1s2.models.quant import (
+                make_quant_cfg_denoise_fn,
+                make_quant_denoise_fn,
+            )
+
+            fn = (make_quant_cfg_denoise_fn(qp, cond_b, args.guidance_scale)
+                  if args.guidance_scale is not None
+                  else make_quant_denoise_fn(qp, cond_b))
+        elif args.guidance_scale is not None:
+            fn = make_cfg_denoise_fn(model.apply, variables, cond_b,
+                                     args.guidance_scale)
+        else:
+            fn = make_denoise_fn(model.apply, variables, cond_b)
+        if args.solver == "dpm2m":
+            from s1s2.sampling import dpm_solver_2m
+
+            x0 = noise if param is Parameterization.EPS else noise * vscale
+            return dpm_solver_2m(fn, x0, schedule, grid, param)
+        x0 = noise if param is Parameterization.EPS else noise * vscale
+        return ddim_grid_sample(fn, x0, jax.random.PRNGKey(0), schedule,
+                                grid, param, eta=0.0)
+
+    return predict
+
+
+class _State:
+    """Server-wide model state; device calls serialized by ``lock``."""
+
+    def __init__(self, args):
+        import numpy as np
+        import jax.numpy as jnp
+
+        self.args = args
+        self.lock = threading.Lock()
+        self.predict = make_predictor(args)
+        t0 = time.perf_counter()
+        self.predict(
+            jnp.zeros((args.batch_size, args.patch_size, args.patch_size,
+                       args.cond_ch), jnp.float32),
+            jnp.int32(0)).block_until_ready()
+        self.warmup_s = round(time.perf_counter() - t0, 3)
+        self.requests = 0
+        self.np = np
+        self.jnp = jnp
+
+    def infer(self, cond, seed: int):
+        """cond (B,ps,ps,Cc) float32 → (B,ps,ps,out_ch) float32; chunks
+        and pads to the compiled batch signature."""
+        np, jnp = self.np, self.jnp
+        B, bs = cond.shape[0], self.args.batch_size
+        outs = []
+        with self.lock:
+            for s in range(0, B, bs):
+                chunk = cond[s : s + bs]
+                n = chunk.shape[0]
+                if n < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - n, 0)], 0)
+                out = self.predict(jnp.asarray(chunk),
+                                   jnp.int32((seed + s) & 0x7FFFFFFF))
+                outs.append(np.asarray(out, np.float32)[:n])
+            self.requests += 1
+        return np.concatenate(outs, 0)
+
+
+def make_handler(state: _State):
+    np = state.np
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            a = state.args
+            self._json(200, {
+                "status": "ok",
+                "model": {"base_ch": a.base_ch, "s2d": a.s2d,
+                          "out_ch": a.out_ch, "cond_ch": a.cond_ch,
+                          "int8": bool(a.int8_ckpt),
+                          "pred_param": a.pred_param, "solver": a.solver,
+                          "t_start": a.t_start, "steps": a.steps,
+                          "guidance_scale": a.guidance_scale},
+                "signature": {"batch": a.batch_size, "patch": a.patch_size},
+                "warmup_s": state.warmup_s,
+                "requests": state.requests,
+            })
+
+        def do_POST(self):
+            if self.path != "/infer":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                blob = np.load(io.BytesIO(self.rfile.read(n)),
+                               allow_pickle=False)
+                cond = np.asarray(blob["cond"], np.float32)
+                seed = int(blob["seed"]) if "seed" in blob else 0
+                if cond.ndim == 3:
+                    cond = cond[None]
+                if cond.ndim != 4:
+                    raise ValueError(f"cond must be 3-D or 4-D, got "
+                                     f"{cond.ndim}-D")
+                if (cond.shape[-1] != state.args.cond_ch
+                        and cond.shape[1] == state.args.cond_ch):
+                    cond = np.transpose(cond, (0, 2, 3, 1))  # NCHW → NHWC
+                ps = state.args.patch_size
+                if cond.shape[1:] != (ps, ps, state.args.cond_ch):
+                    raise ValueError(
+                        f"cond shape {cond.shape[1:]} != compiled "
+                        f"signature ({ps},{ps},{state.args.cond_ch})")
+            except Exception as e:  # malformed request
+                return self._json(400, {"error": str(e)})
+            out = state.infer(cond, seed)
+            buf = io.BytesIO()
+            np.save(buf, out)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def build_server(args) -> ThreadingHTTPServer:
+    """Construct (and warm up) the server without entering serve_forever —
+    importable for tests and embedding."""
+    if not args.ckpt and not args.int8_ckpt:
+        raise SystemExit("serve: one of --ckpt / --int8_ckpt is required")
+    state = _State(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    httpd.s1s2_state = state
+    return httpd
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    httpd = build_server(args)
+    state = httpd.s1s2_state
+    print(json.dumps({
+        "serving": f"http://{httpd.server_address[0]}:{httpd.server_address[1]}",
+        "warmup_s": state.warmup_s,
+        "signature": [args.batch_size, args.patch_size, args.patch_size,
+                      args.cond_ch],
+        "int8": bool(args.int8_ckpt),
+    }), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

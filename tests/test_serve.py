@@ -1,0 +1,144 @@
+"""Serving CLI (s1s2/cli/serve.py): HTTP protocol, chunk+pad batching,
+bf16 and prequantized-int8 artifact paths (extension — the reference has
+no serving surface; SURVEY.md §5)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from s1s2.cli.serve import build_parser, build_server  # noqa: E402
+from s1s2.models import UNetSmall  # noqa: E402
+from s1s2.train.checkpoint import save_model  # noqa: E402
+
+PS, CC, CT, BCH, T = 16, 4, 4, 4, 10
+
+
+def _tiny_ckpt(tmp_path):
+    model = UNetSmall(out_ch=CT, base_ch=BCH)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, PS, PS, CC + CT)),
+                           jnp.zeros((1,), jnp.int32))
+    path = str(tmp_path / "m.msgpack")
+    save_model(variables["params"], path)
+    return variables["params"], path
+
+
+def _serve_args(extra):
+    return build_parser().parse_args([
+        "--port", "0", "--T", str(T), "--base_ch", str(BCH),
+        "--patch_size", str(PS), "--batch_size", "2", "--steps", "2",
+        "--t_start", str(T - 1)] + extra)
+
+
+@pytest.fixture
+def server(tmp_path):
+    _, ckpt = _tiny_ckpt(tmp_path)
+    httpd = build_server(_serve_args(["--ckpt", ckpt]))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+
+
+def _url(httpd, path):
+    h, p = httpd.server_address
+    return f"http://{h}:{p}{path}"
+
+
+def _post_npz(httpd, **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(_url(httpd, "/infer"), data=buf.getvalue(),
+                                 method="POST")
+    return urllib.request.urlopen(req)
+
+
+class TestServe:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(_url(server, "/healthz")) as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok"
+        assert info["signature"] == {"batch": 2, "patch": PS}
+        assert info["model"]["int8"] is False
+
+    def test_infer_chunks_and_pads(self, server):
+        """B=3 through a compiled batch of 2: one full chunk + one padded."""
+        cond = np.random.default_rng(0).standard_normal(
+            (3, PS, PS, CC)).astype(np.float32)
+        with _post_npz(server, cond=cond, seed=np.int32(7)) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (3, PS, PS, CT)
+        assert out.dtype == np.float32
+        assert np.isfinite(out).all()
+
+    def test_infer_accepts_hwc_and_nchw(self, server):
+        rng = np.random.default_rng(1)
+        hwc = rng.standard_normal((PS, PS, CC)).astype(np.float32)
+        with _post_npz(server, cond=hwc) as r:
+            out3 = np.load(io.BytesIO(r.read()))
+        assert out3.shape == (1, PS, PS, CT)
+        nchw = np.transpose(hwc[None], (0, 3, 1, 2))
+        with _post_npz(server, cond=nchw) as r:
+            out_nchw = np.load(io.BytesIO(r.read()))
+        np.testing.assert_allclose(out_nchw, out3, atol=1e-5)
+
+    def test_deterministic_per_seed(self, server):
+        cond = np.random.default_rng(2).standard_normal(
+            (2, PS, PS, CC)).astype(np.float32)
+        outs = []
+        for seed in (3, 3, 4):
+            with _post_npz(server, cond=cond, seed=np.int32(seed)) as r:
+                outs.append(np.load(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        assert np.abs(outs[0] - outs[2]).max() > 1e-6
+
+    def test_bad_request_400(self, server):
+        err = None
+        try:
+            _post_npz(server, cond=np.zeros((PS, PS, 7), np.float32))
+        except urllib.error.HTTPError as e:
+            err = e
+        assert err is not None and err.code == 400
+        assert "signature" in json.loads(err.read())["error"]
+
+    def test_int8_artifact_path(self, tmp_path):
+        """--int8_ckpt: topology read from the artifact meta (base_ch
+        override on the CLI must be ignored in favor of the blob)."""
+        from s1s2.models.quant import quantize_unet, save_quant
+
+        params, _ = _tiny_ckpt(tmp_path)
+        rng = np.random.default_rng(3)
+        calib = [(jnp.asarray(rng.standard_normal((2, PS, PS, CC + CT)),
+                              jnp.float32),
+                  jnp.full((2,), t, jnp.int32)) for t in (T - 1, 5)]
+        qp = quantize_unet(params, calib, out_ch=CT, base_ch=BCH)
+        q_path = str(tmp_path / "m.int8.msgpack")
+        save_quant(qp, q_path)
+
+        httpd = build_server(_serve_args(
+            ["--int8_ckpt", q_path, "--base_ch", "96"]))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(_url(httpd, "/healthz")) as r:
+                info = json.loads(r.read())
+            assert info["model"]["int8"] is True
+            assert info["model"]["base_ch"] == BCH
+            cond = np.zeros((1, PS, PS, CC), np.float32)
+            with _post_npz(httpd, cond=cond) as r:
+                out = np.load(io.BytesIO(r.read()))
+            assert out.shape == (1, PS, PS, CT)
+            assert np.isfinite(out).all()
+        finally:
+            httpd.shutdown()
+
+    def test_missing_ckpt_exits(self):
+        with pytest.raises(SystemExit):
+            build_server(_serve_args([]))
