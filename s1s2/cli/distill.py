@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "already-distilled student, for endpoint-only head "
                          "retargeting). Default: the teacher when "
                          "--skip_progressive, else the progressive result")
+    ap.add_argument("--snapshot_every", type=int, default=0,
+                    help="during the endpoint phase, save a debiased-EMA "
+                         "student snapshot to <model_path>.snap every N "
+                         "epochs — a long run killed mid-way still leaves "
+                         "a usable checkpoint")
     ap.add_argument("--skip_progressive", action="store_true",
                     help="endpoint-only distillation from the raw teacher. "
                          "NOTE: measured weak at t_start=200 (a raw-teacher "
@@ -201,6 +206,10 @@ def main(argv=None) -> None:
         mask = np.stack([
             np.ones(d["target"].shape[:2], np.float32)
             if d["mask"] is None else d["mask"] for d in items])
+        def snapshot(params, ep):
+            save_model(params, args.model_path + ".snap")
+            log({"snapshot_epoch": ep, "path": args.model_path + ".snap"})
+
         student = endpoint_distill(
             model.apply, schedule, cfg, student, teacher, cond, x0, mask,
             epochs=args.endpoint_epochs, batch_size=args.batch_size,
@@ -208,7 +217,9 @@ def main(argv=None) -> None:
             n_seeds=args.endpoint_seeds, progress=log, seed=args.seed,
             mode=args.endpoint_mode, student_param=args.student_param,
             guidance_scale=args.guidance_scale,
-            student_apply_fn=(student_model.apply if width_change else None))
+            student_apply_fn=(student_model.apply if width_change else None),
+            snapshot_every=args.snapshot_every,
+            snapshot_fn=snapshot if args.snapshot_every > 0 else None)
 
     save_model(student, args.model_path)
     print(json.dumps({

@@ -442,6 +442,8 @@ def endpoint_distill(
     student_param: str = "eps",
     guidance_scale: Optional[float] = None,
     student_apply_fn: Optional[Callable] = None,
+    snapshot_every: int = 0,
+    snapshot_fn: Optional[Callable[[Any, int], None]] = None,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
@@ -561,6 +563,7 @@ def endpoint_distill(
         spectral_w=spectral_w, student_param=student_param),
         donate_argnums=(0,))
     state = create_distill_state(student_params, cfg)
+    init = jax.tree_util.tree_map(jnp.asarray, student_params)
     rng = np.random.default_rng(seed)
     for ep in range(1, epochs + 1):
         order = rng.permutation(n_ep)
@@ -584,7 +587,16 @@ def endpoint_distill(
         if progress and (ep % log_every == 0 or ep == epochs):
             progress({"endpoint_epoch": ep, "loss": running / max(1, nb),
                       "skipped": int(state.skipped)})
-    init = jax.tree_util.tree_map(jnp.asarray, student_params)
+        if (snapshot_fn is not None and snapshot_every > 0
+                and ep % snapshot_every == 0 and ep < epochs):
+            # periodic debiased-EMA snapshot: a killed long run still
+            # yields a usable student. COPY before handing out — the
+            # read-out can alias state.params/ema_params, which the next
+            # step donates (the alias would be a deleted buffer)
+            snap = jax.tree_util.tree_map(
+                lambda a: jnp.array(a, copy=True),
+                debiased_ema(state, init, cfg.ema_decay))
+            snapshot_fn(snap, ep)
     return debiased_ema(state, init, cfg.ema_decay)
 
 

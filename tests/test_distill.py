@@ -577,3 +577,32 @@ def test_distill_cli_student_base_ch(tmp_path, rng):
     bad = [a for a in args if a != "--skip_progressive"]
     with pytest.raises(SystemExit):
         cli_distill.main(bad)
+
+
+def test_endpoint_snapshot_every(rng, tmp_path):
+    """--snapshot_every: periodic debiased-EMA snapshots during the endpoint
+    phase, so a killed long run still leaves a usable student. Snapshots
+    fire at multiples of the cadence strictly BEFORE the final epoch (the
+    final read-out is the function's return value), and each one is a
+    finite pytree shaped like the student."""
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(100)
+    cfg = DistillConfig(T=100, t_start=50, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, H=8, W=8)
+    cond, x0, mask = batch
+    snaps = []
+    student = endpoint_distill(
+        model.apply, schedule, cfg, teacher, teacher, cond, x0, mask,
+        epochs=3, batch_size=2, teacher_steps=2, n_seeds=1,
+        snapshot_every=1, snapshot_fn=lambda p, ep: snaps.append((ep, p)))
+    assert [ep for ep, _ in snaps] == [1, 2]
+    for _, p in snaps:
+        assert jax.tree_util.tree_structure(p) == \
+            jax.tree_util.tree_structure(teacher)
+        total = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.abs(x).sum()), p, 0.0)
+        assert np.isfinite(total)
+    # the returned student is independent of snapshotting (read-out is pure)
+    assert np.isfinite(jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), student, 0.0))
