@@ -199,26 +199,32 @@ def main() -> None:
     # (base 12) LAST = the headline. Per-width batch = the measured sweet
     # spot (B=64 at width 48/32 hits a reproducibly bad XLA tiling; width
     # ≤16 is batch-insensitive across 128-512).
-    WIDTHS = [  # (base_ch, batch, expected int8 MAE, params)
-        (64, 64, 0.34812, "7.7M"),
-        (48, 128, 0.35026, "4.3M"),
-        (32, 128, 0.34052, "1.9M"),
-        (24, 256, 0.34453, "1.1M"),
-        (16, 128, 0.34008, "0.48M"),
-        (12, 128, 0.34379, "0.27M"),
+    WIDTHS = [  # (spec "BASE" or "BASExS2D", batch, expected int8 MAE, params)
+        ("64", 64, 0.34812, "7.7M"),
+        ("48", 128, 0.35026, "4.3M"),
+        ("32", 128, 0.34052, "1.9M"),
+        ("24", 256, 0.34453, "1.1M"),
+        ("16", 128, 0.34008, "0.48M"),
+        ("12", 128, 0.34379, "0.27M"),
+        # s2d rung: base-16 channels with a 2x space-to-depth stem — the
+        # whole body runs at 128^2 (BENCH_NOTES.md "Space-to-depth stem")
+        ("16x2", 128, 0.34170, "0.48M"),
     ]
-    for wch, wb, expect_mae, params_s in WIDTHS:
+    for spec, wb, expect_mae, params_s in WIDTHS:
+        base_s, _, s2d_s = spec.partition("x")
+        wch, s2d = int(base_s), int(s2d_s or 1)
         ckpt_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "examples", "checkpoints",
-                              f"distill_eps_student{wch}.bf16.msgpack")
+                              f"distill_eps_student{spec}.bf16.msgpack")
         if not (os.path.exists(ckpt_w) and os.path.exists(ckpt)):
             continue
-        model_w = UNetSmall(out_ch=CT, base_ch=wch,
+        model_w = UNetSmall(out_ch=CT, base_ch=wch, stem_s2d=s2d,
                             compute_dtype=jnp.bfloat16)
         tmpl_w = model_w.init(
             jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
             jnp.zeros((1,), jnp.int32))["params"]
-        qp_w = quantize_unet(load_params(ckpt_w, template=tmpl_w), calib_s)
+        qp_w = quantize_unet(load_params(ckpt_w, template=tmpl_w), calib_s,
+                             stem_s2d=s2d)
         pred_w = ddim_anchored(make_quant_denoise_fn(qp_w, ev_cond),
                                ev_gt, ev_key, schedule, 200, 1,
                                noise=ev_noise)
@@ -231,12 +237,13 @@ def main() -> None:
 
         cond_w, gt_w = data(wb, 7)
         _report(
-            f"patches_per_sec_per_chip_distill1_w{wch}_int8_at_ddim20"
+            f"patches_per_sec_per_chip_distill1_w{spec}_int8_at_ddim20"
             "_quality_256px",
             timed(run_w, cond_w, gt_w, 30),
-            config=f"width-distilled base-{wch} 1-step student, int8, "
-                   f"B={wb} ({params_s} params; BENCH_NOTES.md 'Width "
-                   "distillation')",
+            config=f"width-distilled base-{wch}"
+                   + (f" s2d-{s2d} stem" if s2d > 1 else "")
+                   + f" 1-step student, int8, B={wb} ({params_s} params; "
+                   "BENCH_NOTES.md 'Width distillation')",
             quality_checked=bool(mae_w <= teacher_anchor * 0.95
                                  and abs(mae_w - expect_mae) < 0.02),
             verified_mae=round(mae_w, 5),

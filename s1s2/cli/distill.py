@@ -207,7 +207,12 @@ def main(argv=None) -> None:
             np.ones(d["target"].shape[:2], np.float32)
             if d["mask"] is None else d["mask"] for d in items])
         def snapshot(params, ep):
-            save_model(params, args.model_path + ".snap")
+            # tmp + rename: a crash mid-write must not corrupt the snapshot
+            # (its whole purpose is surviving a killed run)
+            import os
+            save_model(params, args.model_path + ".snap.tmp")
+            os.replace(args.model_path + ".snap.tmp",
+                       args.model_path + ".snap")
             log({"snapshot_epoch": ep, "path": args.model_path + ".snap"})
 
         student = endpoint_distill(
