@@ -25,6 +25,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # SIGKILL/resume subprocess clusters, ~30 s per jax start
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_train_worker.py")
 

@@ -13,6 +13,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # trains torch ckpts + runs 5 reference scripts
+
 REF = os.environ.get("S1S2_REFERENCE_DIR", "/root/reference")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
