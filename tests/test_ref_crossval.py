@@ -39,6 +39,31 @@ def test_crossval_eps_family(tmp_path):
     assert ddim["cols"]["MAE"]["max_dev"] <= 2e-6
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+def test_crossval_patch_family(tmp_path):
+    """The UNMODIFIED reference Patch.py (run under the npy-backed
+    rasterio shim) and `s1s2 patchify --exact-filters` must emit
+    bit-identical npz fields, manifest counters and preview pixels on a
+    synthetic scene set that exercises all four quality filters
+    (`/root/reference/Patch.py:205-224,246-305`)."""
+    from tools.ref_crossval import main
+
+    rc = main(["--workdir", str(tmp_path), "--families", "patch"])
+    assert rc == 0
+    report = json.load(open(tmp_path / "report.json"))
+    tab = report["tables"]["patch/patchify/npz_fields"]
+    assert tab["pass"]
+    assert tab["cols"]["npz.inputs"]["max_dev"] == 0.0
+    assert tab["cols"]["npz.target"]["max_dev"] == 0.0
+    assert tab["cols"]["preview.uint8_max_dev"]["max_dev"] == 0
+    # every skip counter must actually fire (scene design contract)
+    man = json.load(open(tmp_path / "ref_patchify" / "manifest.json"))
+    for k in ("dark_skipped", "texture_skipped", "validratio_skipped",
+              "var_skipped"):
+        assert man[k] > 0, k
+    assert man["total_patches"] > 0
+
+
 def test_committed_crossval_report_passes():
     """The committed evidence pack (examples/ref_crossval) must carry a
     passing report with both families."""
@@ -48,4 +73,5 @@ def test_committed_crossval_report_passes():
     report = json.load(open(path))
     assert report["pass"]
     # 7 eps + 2 v + 4 pure + 1 sweep + 3 misc + 6 upd + 4 vmisc + 2 ddpm
+    # + 1 patch (Patch.py rasterio-shim diff, round 4)
     assert report["tables_total"] >= 29

@@ -128,6 +128,219 @@ def build_noise_npz(path, n_files, H, W, Ct, n_seeds, seed_base):
     return path
 
 
+# ---------------------------------------------------------------------------
+# patch family: the unmodified Patch.py under the rasterio shim
+# (closes the 14th-reference-file gap — `/root/reference/Patch.py:118-310`)
+# ---------------------------------------------------------------------------
+
+
+def _save_img(path, arr):
+    """npy bytes at the exact reference band filename (np.save to an open
+    handle so numpy can't append ``.npy``); read back by the shim."""
+    import numpy as np
+
+    with open(path, "wb") as f:
+        np.save(f, np.asarray(arr, np.float32))
+
+
+def build_patch_scenes(base_dir):
+    """Two synthetic collocated scenes exercising every Patch.py branch:
+    the 0..10000 reflectance-scaling heuristic, all four quality-filter
+    skip counters (valid-ratio / variance / dark / texture,
+    `Patch.py:205-224`), the Sigma0 filename fallback chain
+    (`Patch.py:172-176`), collocationFlags masking and NaN inputs.
+
+    Filter-critical region statistics are designed with wide margins from
+    the thresholds (var 4e-4 vs 1e-4; dark values <0.08 vs thr 0.10) so
+    f32-vs-f64 accumulation-order differences can't flip a decision."""
+    import numpy as np
+
+    rng = np.random.default_rng(2024)
+
+    # ---- scene A: 96², raw 0..10000 range, colloc flags, ε of everything
+    a = os.path.join(base_dir, "scene_a_collocated.data")
+    os.makedirs(a, exist_ok=True)
+    S = 96
+    bands = {}
+    for name in ("B2", "B3", "B4", "B8"):
+        y = 3000.0 + 2500.0 * rng.random((S, S))   # textured, q95 > 2.0
+        y[0:32, 32:64] = 100.0 + 700.0 * rng.random((32, 32))   # dark
+        y[64:96, 0:32] = 5000.0                                  # flat
+        y[64:96, 64:96] = np.linspace(2000.0, 8000.0, 32)[None, :]  # ramp
+        bands[name] = y
+    bands["B2"][32:64, 64:96] = np.nan            # → valid-ratio skips
+    for name, y in bands.items():
+        _save_img(os.path.join(a, f"{name}.img"), y)
+    hh = rng.normal(-12.0, 3.0, (S, S))
+    hv = rng.normal(-19.0, 3.0, (S, S))
+    hv[0:8, 0:8] = np.nan                          # input NaNs → mask
+    _save_img(os.path.join(a, "Sigma0_HH_db_m.img"), hh)
+    _save_img(os.path.join(a, "Sigma0_HV_db_m.img"), hv)
+    _save_img(os.path.join(a, "projectedLocalIncidenceAngle_m.img"),
+              20.0 + 25.0 * rng.random((S, S)))
+    _save_img(os.path.join(a, "elevation_ref_egm2008.img"),
+              2000.0 * rng.random((S, S)))
+    colloc = np.ones((S, S), np.float32)
+    # 8×8 colloc-masked corner: big enough to exercise the colloc branch
+    # of build_mask, small enough (vr 0.9375 > 0.8) that the ramp window
+    # still reaches the TEXTURE filter instead of valid-ratio-skipping
+    colloc[88:96, 88:96] = 0.0
+    _save_img(os.path.join(a, "collocationFlags.img"), colloc)
+
+    # ---- scene B: 64², already 0..1 (no scaling), corr024 S1 fallback,
+    # no collocationFlags
+    b = os.path.join(base_dir, "scene_b_collocated.data")
+    os.makedirs(b, exist_ok=True)
+    S = 64
+    for name in ("B2", "B3", "B4", "B8"):
+        y = 0.2 + 0.6 * rng.random((S, S))
+        if name == "B8":
+            y[0:6, 0:6] = np.nan
+        _save_img(os.path.join(b, f"{name}.img"), y)
+    _save_img(os.path.join(b, "Sigma0_HH_db_corr024_m.img"),
+              rng.normal(-10.0, 2.0, (S, S)))
+    _save_img(os.path.join(b, "Sigma0_HV_db_corr024_m.img"),
+              rng.normal(-17.0, 2.0, (S, S)))
+    _save_img(os.path.join(b, "projectedLocalIncidenceAngle_m.img"),
+              30.0 + 10.0 * rng.random((S, S)))
+    _save_img(os.path.join(b, "elevation_ref_egm2008.img"),
+              500.0 * rng.random((S, S)))
+
+    # a folder with no band data must be skipped by both sides
+    os.makedirs(os.path.join(base_dir, "scene_empty.data"), exist_ok=True)
+    return base_dir
+
+
+def run_ref_patchify(base_dir, out_dir, ps, stride, log_path):
+    """Run the UNMODIFIED reference Patch.py with the npy-backed rasterio
+    shim pre-installed (`tools/rasterio_shim.py`)."""
+    script = os.path.join(REF_DIR, "Patch.py")
+    argv = [script, "--base-dir", base_dir, "--output-dir", out_dir,
+            "--patch-size", str(ps), "--stride", str(stride)]
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.join(REPO, 'tools')!r})\n"
+        "import rasterio_shim\n"
+        "rasterio_shim.install()\n"
+        f"sys.argv = {argv!r}\n"
+        "import runpy\n"
+        f"runpy.run_path({script!r}, run_name='__main__')\n"
+    )
+    with open(log_path or os.devnull, "w") as lf:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       stdout=lf, stderr=lf, cwd=os.path.dirname(script))
+
+
+def run_s1s2_patchify(base_dir, out_dir, ps, stride, log_path):
+    """Run s1s2 patchify in a subprocess with the SAME shim installed, so
+    the real-rasterio branch of `s1s2/data/patchify.py:read_band/get_geo`
+    executes (the .img band files exist, forcing the rasterio code path).
+    --exact-filters selects the per-window Laplacian routine (bit parity
+    with the reference instead of the integral-image fast path)."""
+    argv = ["--base-dir", base_dir, "--output-dir", out_dir,
+            "--patch-size", str(ps), "--stride", str(stride),
+            "--exact-filters"]
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.join(REPO, 'tools')!r})\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import rasterio_shim\n"
+        "rasterio_shim.install()\n"
+        "from s1s2.cli.patchify import main\n"
+        f"main({argv!r})\n"
+    )
+    with open(log_path or os.devnull, "w") as lf:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       stdout=lf, stderr=lf)
+
+
+def diff_patchify(ref_dir, got_dir, report, table_name, atol=1e-6):
+    """Field-by-field diff of the Patch.py output contract
+    (`Patch.py:246-255,288-305`): manifest skip counters + entries, every
+    npz's inputs/target/mask/geo-meta, and the preview PNG pixels of the
+    first patch."""
+    import numpy as np
+
+    entry = {"ref": ref_dir, "s1s2": got_dir, "cols": {}, "pass": True}
+
+    def col(name, ok, dev=None):
+        c = {"pass": bool(ok)}
+        if dev is not None:
+            c["max_dev"] = float(dev)
+            c["tol"] = atol
+        entry["cols"][name] = c
+        entry["pass"] = entry["pass"] and bool(ok)
+
+    ref_man = json.load(open(os.path.join(ref_dir, "manifest.json")))
+    got_man = json.load(open(os.path.join(got_dir, "manifest.json")))
+    for k in ("total_patches", "dark_skipped", "texture_skipped",
+              "validratio_skipped", "var_skipped", "patch_size", "stride"):
+        col(f"manifest.{k}", ref_man[k] == got_man[k])
+    ents_ok = len(ref_man["patches"]) == len(got_man["patches"]) and all(
+        r["patch_id"] == g["patch_id"] and r["folder"] == g["folder"]
+        and r["npz"] == g["npz"] and r["row"] == g["row"]
+        and r["col"] == g["col"]
+        and abs(r["valid_ratio"] - g["valid_ratio"]) <= atol
+        for r, g in zip(ref_man["patches"], got_man["patches"]))
+    col("manifest.patches", ents_ok)
+
+    ref_npz = sorted(f for f in os.listdir(ref_dir) if f.endswith(".npz"))
+    got_npz = sorted(f for f in os.listdir(got_dir) if f.endswith(".npz"))
+    col("npz.file_list", ref_npz == got_npz and len(ref_npz) > 0)
+    devs = {"inputs": 0.0, "target": 0.0, "valid_ratio": 0.0}
+    meta_ok = mask_ok = True
+    for fn in ref_npz:
+        if fn not in got_npz:
+            continue
+        r = np.load(os.path.join(ref_dir, fn), allow_pickle=True)
+        g = np.load(os.path.join(got_dir, fn), allow_pickle=True)
+        for k in ("inputs", "target"):
+            devs[k] = max(devs[k],
+                          float(np.abs(r[k] - g[k]).max()) if r[k].shape ==
+                          g[k].shape else math.inf)
+        mask_ok &= bool(np.array_equal(r["mask"], g["mask"]))
+        devs["valid_ratio"] = max(
+            devs["valid_ratio"],
+            abs(float(r["valid_ratio"]) - float(g["valid_ratio"])))
+        meta_ok &= (str(r["folder"]) == str(g["folder"])
+                    and str(r["crs"]) == str(g["crs"])
+                    and int(r["row"]) == int(g["row"])
+                    and int(r["col"]) == int(g["col"])
+                    and int(r["patch_size"]) == int(g["patch_size"])
+                    and int(r["stride"]) == int(g["stride"])
+                    and np.allclose(np.asarray(r["transform"], np.float64),
+                                    np.asarray(g["transform"], np.float64)))
+    for k, d in devs.items():
+        col(f"npz.{k}", d <= atol, dev=d)
+    col("npz.mask", mask_ok)
+    col("npz.geo_meta", meta_ok)
+
+    # preview parity: identical uint8 pixels for the first patch's panels
+    # (same percentile-stretch formula both sides, `Patch.py:64-78`)
+    if ref_npz:
+        from PIL import Image
+
+        stem = ref_npz[0][: -len(".npz")]
+        pdev = 0
+        for png in ("true_color.png", "false_color_CIR.png", "B8.png",
+                    "HH_dB_std.png"):
+            rp = os.path.join(ref_dir, "preview_patches", stem, png)
+            gp = os.path.join(got_dir, "preview_patches", stem, png)
+            if not (os.path.exists(rp) and os.path.exists(gp)):
+                pdev = 255
+                break
+            ra = np.asarray(Image.open(rp), np.int16)
+            ga = np.asarray(Image.open(gp), np.int16)
+            pdev = max(pdev, int(np.abs(ra - ga).max())
+                       if ra.shape == ga.shape else 255)
+        entry["cols"]["preview.uint8_max_dev"] = {
+            "max_dev": pdev, "tol": 0, "pass": pdev == 0}
+        entry["pass"] = entry["pass"] and pdev == 0
+
+    report[table_name] = entry
+    return entry
+
+
 def build_sweep_noise_npz(path, n_files, H, W, Ct, seed_base):
     """DDIM_Sweep fixes per-file noise by ``torch.manual_seed(seed_base+i)``
     before each file's anchored init draw (`Evaluation/DDIM_Sweep.py:404`);
@@ -412,9 +625,9 @@ def main(argv=None):
     ap.add_argument("--ddim_steps", type=int, default=20)
     ap.add_argument("--families", nargs="*",
                     default=["eps", "v", "pure", "sweep", "misc", "upd",
-                             "vmisc", "ddpm"],
+                             "vmisc", "ddpm", "patch"],
                     choices=["eps", "v", "pure", "sweep", "misc", "upd",
-                             "vmisc", "ddpm"],
+                             "vmisc", "ddpm", "patch"],
                     help="eps/v: DDIM_Multi-step(+_v) tables; pure: "
                          "Evaluation_Pure_Generation true_infer + classical "
                          "baselines + Comparison_Original tsweep; sweep: "
@@ -944,6 +1157,30 @@ def main(argv=None):
             + ("PASS" if e["pass"] else "FAIL")
             + " " + json.dumps({c: round(v["max_dev"], 8)
                                 for c, v in e.get("cols", {}).items()}))
+
+    # ---------------- patch family (Patch.py under rasterio shim) --------
+    if "patch" in args.families:
+        log("—— patch family: unmodified Patch.py vs s1s2 patchify "
+            "(rasterio shim, tools/rasterio_shim.py) ——")
+        scenes = os.path.join(wd, "patch_scenes")
+        ref_out = os.path.join(wd, "ref_patchify")
+        got_out = os.path.join(wd, "s1s2_patchify")
+        ps, stride = 32, 16
+        if not (args.reuse and os.path.isdir(ref_out)
+                and os.path.exists(os.path.join(ref_out, "manifest.json"))):
+            build_patch_scenes(scenes)
+            log("running UNMODIFIED /root/reference/Patch.py…")
+            run_ref_patchify(scenes, ref_out, ps, stride,
+                             os.path.join(wd, "ref_patchify.log"))
+            log("running s1s2 patchify (--exact-filters, shimmed "
+                "rasterio branch)…")
+            run_s1s2_patchify(scenes, got_out, ps, stride,
+                              os.path.join(wd, "s1s2_patchify.log"))
+        e = diff_patchify(ref_out, got_out, tables, "patch/patchify/npz_fields")
+        log("  patch/patchify/npz_fields: "
+            + ("PASS" if e["pass"] else "FAIL")
+            + " " + json.dumps({c: v for c, v in e.get("cols", {}).items()
+                                if not v["pass"] or "max_dev" in v}))
 
     report["pass"] = all(t["pass"] for t in tables.values())
     report["tables_pass"] = sum(t["pass"] for t in tables.values())
