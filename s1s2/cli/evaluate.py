@@ -76,6 +76,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--int8_ckpt", type=str, default=None,
                     help="pre-quantized artifact from `s1s2 quantize` — "
                          "serve int8 without recalibration (implies --int8)")
+    ap.add_argument("--int8_calib", choices=["qsample", "rollout"],
+                    default="qsample",
+                    help="activation-scale source: qsample = forward-"
+                         "diffused GT (default); rollout = per-guidance "
+                         "bf16-trajectory calibration (cfg_sweep; fixes "
+                         "the int8+CFG clipping degradation)")
+    ap.add_argument("--int8_perchannel", action="store_true",
+                    help="per-input-channel activation scales folded into "
+                         "the int8 weights (finer resolution; reduces "
+                         "per-branch quant noise under CFG)")
+    ap.add_argument("--int8_bf16_blocks", nargs="*", default=[],
+                    help="double-conv blocks to keep bf16 inside the int8 "
+                         "net (e.g. conv1 = the output-adjacent decoder "
+                         "block; trades speed for CFG fidelity)")
     ap.add_argument("--mesh_data", type=int, default=0,
                     help="shard eval batches over N devices' 'data' axis "
                          "(0 = single device); batch_size must divide by N")
@@ -135,6 +149,9 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         int8=args.int8 or args.int8_ckpt is not None,
         int8_ckpt=args.int8_ckpt,
+        int8_calib=args.int8_calib,
+        int8_perchannel=args.int8_perchannel,
+        int8_bf16_blocks=tuple(args.int8_bf16_blocks),
         cache_dir=args.cache_dir,
         mesh_data=args.mesh_data,
         noise_npz=args.noise_npz,

@@ -138,6 +138,16 @@ class EvalConfig:
     # checkpoint post-training and run the hot convs on the 2x int8 MXU
     # path. Calibrated on the first dataset batch at a spread of timesteps.
     int8: bool = False
+    # activation-scale calibration source: "qsample" = forward-diffused GT
+    # at a timestep spread (default; matches every committed int8 row);
+    # "rollout" = states captured from a bf16 GUIDED trajectory, fixing the
+    # clipping that degrades int8+CFG monotonically with g (cfg_sweep only)
+    int8_calib: str = "qsample"
+    # per-input-channel activation scales folded into the int8 weights
+    # (models/quant.py act_perchannel) — finer quantization resolution
+    int8_perchannel: bool = False
+    # double-conv blocks kept bf16 inside the int8 net (e.g. ("conv1",))
+    int8_bf16_blocks: tuple = ()
     # pre-quantized artifact (cli/quantize.py) — load instead of calibrating
     int8_ckpt: Optional[str] = None
     # decompress the npz dataset ONCE into mmap'd .npy files here — multi-
@@ -257,7 +267,34 @@ class EvalContext:
             null_cond=null_cond)
         return quantize_unet(self.variables["params"], calib,
                              out_ch=self.Ct, base_ch=self.cfg.base_ch,
-                             stem_s2d=self.cfg.stem_s2d)
+                             stem_s2d=self.cfg.stem_s2d,
+                             act_perchannel=self.cfg.int8_perchannel,
+                             bf16_blocks=self.cfg.int8_bf16_blocks)
+
+    def quantize_rollout(self, guidance_scale: float):
+        """Per-guidance-scale int8 re-calibration on a guided bf16 rollout
+        (``--int8_calib rollout``): weight quantization is identical to
+        `_quantize`; only the 12 activation absmax scalars come from the
+        trajectory the quantized CFG sampler will actually walk
+        (models/quant.make_cfg_rollout_calib has the mechanism)."""
+        from s1s2.models.quant import make_cfg_rollout_calib, quantize_unet
+        from s1s2.sampling.grids import round_unique_grid
+
+        n = min(len(self.ds), 8)
+        cond = jnp.asarray(np.stack(
+            [self.ds[i]["cond"] for i in range(n)]))
+        grid = round_unique_grid(self.cfg.t_start, self.cfg.ddim_steps,
+                                 self.cfg.T)
+        calib = make_cfg_rollout_calib(
+            self.model.apply, self.variables, cond, self.schedule, grid,
+            guidance_scale, param=self.param,
+            key=jax.random.PRNGKey(self.cfg.seed_base), n=n,
+            out_ch=self.Ct)
+        return quantize_unet(self.variables["params"], calib,
+                             out_ch=self.Ct, base_ch=self.cfg.base_ch,
+                             stem_s2d=self.cfg.stem_s2d,
+                             act_perchannel=self.cfg.int8_perchannel,
+                             bf16_blocks=self.cfg.int8_bf16_blocks)
 
     def shard_call(self, sampler):
         """Wrap a jitted sampler so its batch-major array args (ndim>=3)
@@ -1211,15 +1248,20 @@ def run_cfg_sweep(ctx: EvalContext) -> Dict:
     rows = []
     results = {}
 
+    qp_by_g = {}
+
     def cfg_fn(cond, g):
         """cond/uncond-stacked guided denoiser; int8 path when --int8."""
         if cfg.int8:
             from s1s2.models.quant import make_quant_cfg_denoise_fn
 
-            return make_quant_cfg_denoise_fn(ctx.qparams, cond, g)
+            return make_quant_cfg_denoise_fn(qp_by_g.get(g, ctx.qparams),
+                                             cond, g)
         return make_cfg_denoise_fn(ctx.model.apply, ctx.variables, cond, g)
 
     for g in scales:
+        if cfg.int8 and cfg.int8_calib == "rollout":
+            qp_by_g[g] = ctx.quantize_rollout(float(g))
         if ctx.param is Parameterization.EPS:
 
             @jax.jit

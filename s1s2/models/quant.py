@@ -45,10 +45,16 @@ class QuantParams:
     params: Any  # original UNetSmall param tree (inc/up*/outc read from it)
     w8: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]  # name -> (w8, sw_perco)
     bias: Dict[str, jnp.ndarray]
-    act_scale: Dict[str, float]  # conv input absmax/127, static
+    act_scale: Dict[str, Any]  # conv input absmax/127: float, or (Ci,) array
     out_ch: int = 4
     base_ch: int = 96
     stem_s2d: int = 1  # space-to-depth stem factor (UNetSmall.stem_s2d)
+    # per-INPUT-channel activation scales, folded into the weights before
+    # weight quantization (x8 = round(x/sx_ci); w~ = w·sx_ci quantized
+    # per-Co; dequant = acc·sw alone — exact algebra, finer resolution for
+    # low-range channels). Default off: per-tensor matches every committed
+    # evidence row.
+    act_perchannel: bool = False
 
 
 def _conv_names():
@@ -57,11 +63,20 @@ def _conv_names():
             yield f"{blk}/{c}"
 
 
-def quantize_weights(params, quant_up: bool = False) -> Tuple[Dict, Dict]:
+def quantize_weights(params, quant_up: bool = False,
+                     act_scales=None,
+                     bf16_blocks: Tuple[str, ...] = ()) -> Tuple[Dict, Dict]:
     """Per-output-channel symmetric int8 for every double-conv kernel
-    (+ the 2×2 transposed-conv kernels when ``quant_up``)."""
+    (+ the 2×2 transposed-conv kernels when ``quant_up``).
+
+    ``act_scales``: per-input-channel activation scales to FOLD into the
+    kernels before quantization (act_perchannel mode): w̃ = w·sx_ci, so the
+    int8 matmul of round(x/sx_ci) against round(w̃/sw) dequantizes with sw
+    alone — exact per-channel algebra at zero runtime cost."""
     w8, bias = {}, {}
-    names = list(_conv_names()) + (list(_UPS) if quant_up else [])
+    names = [n for n in _conv_names()
+             if n.split("/")[0] not in bf16_blocks]
+    names += list(_UPS) if quant_up else []
     for name in names:
         if "/" in name:
             blk, c = name.split("/")
@@ -69,6 +84,9 @@ def quantize_weights(params, quant_up: bool = False) -> Tuple[Dict, Dict]:
         else:
             p = params[name]
         w = np.asarray(p["kernel"], np.float32)  # (3,3,Ci,Co) / (2,2,Ci,Co)
+        if act_scales is not None:
+            sx = np.asarray(act_scales[name], np.float32)  # (Ci,)
+            w = w * sx[None, None, :, None]
         sw = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
         sw = np.maximum(sw, 1e-12)
         q = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
@@ -128,11 +146,16 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
     def block_conv(x, name):
         blk, c = name.split("/")
         if mode == "calib":
-            records[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ax = jnp.abs(x.astype(jnp.float32))
+            records[name] = (jnp.max(ax, axis=(0, 1, 2))
+                             if qp.act_perchannel else jnp.max(ax))
+            p = params[blk][c]
+            return jax.nn.relu(_conv_bf16(x, p["kernel"], p["bias"]))
+        if name not in qp.w8:  # bf16_blocks escape hatch (CFG error budget)
             p = params[blk][c]
             return jax.nn.relu(_conv_bf16(x, p["kernel"], p["bias"]))
         w8, sw = qp.w8[name]
-        sx = qp.act_scale[name]
+        sx = qp.act_scale[name]  # scalar, or (Ci,) broadcasting over NHWC
         x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
                       ).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(x8.shape, w8.shape,
@@ -140,7 +163,8 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
         acc = jax.lax.conv_general_dilated(
             x8, w8, (1, 1), "SAME", dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (sx * sw) + qp.bias[name]
+        deq = sw if qp.act_perchannel else sx * sw  # sx folded into w8
+        y = acc.astype(jnp.float32) * deq + qp.bias[name]
         return jax.nn.relu(y).astype(dt)
 
     def block(x, blk):
@@ -150,7 +174,9 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
     def up_conv(x, name):
         p = params[name]
         if mode == "calib":
-            records[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ax = jnp.abs(x.astype(jnp.float32))
+            records[name] = (jnp.max(ax, axis=(0, 1, 2))
+                             if qp.act_perchannel else jnp.max(ax))
             return _convt_2x2(x, p["kernel"], p["bias"])
         if name not in qp.w8:  # default: transposed convs stay bf16
             return _convt_2x2(x, p["kernel"], p["bias"])
@@ -162,7 +188,8 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
             x8, w8, (2, 2), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=False, preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (sx * sw) + qp.bias[name]
+        deq = sw if qp.act_perchannel else sx * sw
+        y = acc.astype(jnp.float32) * deq + qp.bias[name]
         return y.astype(dt)
 
     e1 = jax.nn.relu(_conv_bf16(x, params["inc"]["kernel"],
@@ -187,14 +214,16 @@ def _forward(qp: QuantParams, x_and_cond, t_idx, *, mode: str,
 
 
 def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96,
-              stem_s2d: int = 1) -> Dict[str, float]:
-    """absmax of every double-conv input over calibration batches.
+              stem_s2d: int = 1, per_channel: bool = False):
+    """absmax of every double-conv input over calibration batches —
+    per-tensor scalars (default) or per-input-channel vectors.
 
     batches: iterable of (x_and_cond (B,H,W,Cc+Ct), t_idx (B,)) — use
     representative (cond, x_t, t) triples from the sampler's own range of
     timesteps for faithful activation ranges.
     """
-    qp = QuantParams(params, {}, {}, {}, out_ch, base_ch, stem_s2d)
+    qp = QuantParams(params, {}, {}, {}, out_ch, base_ch, stem_s2d,
+                     act_perchannel=per_channel)
 
     @jax.jit
     def one(x, t):
@@ -202,11 +231,15 @@ def calibrate(params, batches, out_ch: int = 4, base_ch: int = 96,
         _forward(qp, x, t, mode="calib", records=rec)
         return rec
 
-    mx: Dict[str, float] = {}
+    mx: Dict[str, Any] = {}
     for x, t in batches:
         rec = one(jnp.asarray(x), jnp.asarray(t))
         for k, v in rec.items():
-            mx[k] = max(mx.get(k, 0.0), float(v))
+            v = np.asarray(v) if per_channel else float(v)
+            mx[k] = v if k not in mx else np.maximum(mx[k], v)
+    if per_channel:
+        return {k: np.maximum(v, 1e-6).astype(np.float32) / 127.0
+                for k, v in mx.items()}
     return {k: max(v, 1e-6) / 127.0 for k, v in mx.items()}
 
 
@@ -249,19 +282,89 @@ def make_sampler_calib(gt, cond, alpha_bar, tvals, *, key=None, n: int = 8,
     return calib
 
 
+def make_cfg_rollout_calib(apply_fn, variables, cond, schedule, grid,
+                           guidance_scale: float, *, param, key=None,
+                           n: int = 8, eta: float = 0.0, out_ch: int = 4):
+    """Guided-ROLLOUT calibration batches: the (x_t, t) states an actual
+    bf16 CFG pure-generation trajectory visits, instead of teacher-forced
+    ``q_sample(gt)`` states.
+
+    Why: guidance extrapolates ``pu + g·(pc − pu)`` — at g≫1 the
+    intermediate x_t leave the range spanned by forward-diffused GT, so
+    q_sample-calibrated activation scales CLIP the guided trajectory and
+    int8 MAE degrades monotonically with g (the r3 measured failure,
+    examples/results_synthetic/CFG_Sweep/cfg_sweep_summary_int8.csv).
+    Calibrating on the trajectory the quantized sampler will actually walk
+    removes that mismatch. Scales are g-specific — re-calibrate per
+    guidance scale (weight quantization is unchanged; only the 12 absmax
+    scalars differ).
+
+    Returns calib batches [(x_and_cond, t), (x_and_nullcond, t), …] for
+    ``quantize_unet`` — null twins included since CFG runs both branches.
+    """
+    from s1s2.core.parametrize import Parameterization
+    from s1s2.sampling import ddim_grid_sample, make_cfg_denoise_fn
+
+    cond = jnp.asarray(cond)[:n]
+    if key is None:
+        key = jax.random.PRNGKey(5)
+    param = Parameterization(param)
+    ab = schedule.alpha_bar_np()
+    K = int(np.asarray(grid)[-1])
+    scale = 1.0 if param is Parameterization.EPS else float(
+        np.sqrt(1.0 - ab[min(max(K, 1), schedule.T - 1)]))
+
+    @jax.jit
+    def rollout(cond_b, k):
+        noise = jax.random.normal(
+            k, cond_b.shape[:3] + (out_ch,), jnp.float32) * scale
+        fn = make_cfg_denoise_fn(apply_fn, variables, cond_b,
+                                 float(guidance_scale))
+        _, (ts, traj) = ddim_grid_sample(
+            fn, noise, jax.random.PRNGKey(0), schedule,
+            grid, param, eta=eta, return_traj=True)
+        return ts, traj
+
+    ts, traj = rollout(cond, key)
+    ts, traj = np.asarray(ts), np.asarray(traj)  # (S,), (S, n, H, W, C)
+    calib = []
+    zero = jnp.zeros_like(cond)
+    for i in range(len(ts)):
+        x_t = jnp.asarray(traj[i])
+        t_vec = jnp.full((cond.shape[0],), int(ts[i]), jnp.int32)
+        calib.append((jnp.concatenate([x_t, cond], -1), t_vec))
+        calib.append((jnp.concatenate([x_t, zero], -1), t_vec))
+    return calib
+
+
 def quantize_unet(params, calib_batches, out_ch: int = 4,
                   base_ch: int = 96, quant_up: bool = False,
-                  stem_s2d: int = 1) -> QuantParams:
+                  stem_s2d: int = 1,
+                  act_perchannel: bool = False,
+                  bf16_blocks: Tuple[str, ...] = ()) -> QuantParams:
     """One-call post-training quantization of a trained UNetSmall.
 
     ``quant_up`` additionally runs the 2×2 transposed convs in int8 (they
     are ~10% of the FLOPs and the int8↔bf16 dtype boundary); default off —
     measure the MAE delta before enabling (tools/bench_int8.py --quant_up).
     ``stem_s2d`` must match the checkpoint's UNetSmall.stem_s2d.
+    ``act_perchannel`` folds per-input-channel activation scales into the
+    weights (finer resolution; reduces per-branch quant noise under CFG).
+    ``bf16_blocks``: double-conv block names (e.g. ``("conv1",)``) left in
+    bf16 — the finest decoder block feeds the output head directly, so its
+    quantization noise is unattenuated and g-amplified under CFG; running
+    it bf16 trades ~1/3 of the int8 speedup for output-path fidelity.
     """
-    w8, bias = quantize_weights(params, quant_up=quant_up)
-    scales = calibrate(params, calib_batches, out_ch, base_ch, stem_s2d)
-    return QuantParams(params, w8, bias, scales, out_ch, base_ch, stem_s2d)
+    scales = calibrate(params, calib_batches, out_ch, base_ch, stem_s2d,
+                       per_channel=act_perchannel)
+    # per-channel folding needs scales for EVERY quantized conv — the
+    # _UPS entries exist in `scales` only if quant_up convs were calibrated
+    # (they are: calib records up3/up2/up1 inputs too)
+    w8, bias = quantize_weights(params, quant_up=quant_up,
+                                act_scales=scales if act_perchannel else None,
+                                bf16_blocks=tuple(bf16_blocks))
+    return QuantParams(params, w8, bias, scales, out_ch, base_ch, stem_s2d,
+                       act_perchannel=act_perchannel)
 
 
 def quant_apply(qp: QuantParams, x_and_cond, t_idx):
@@ -289,10 +392,12 @@ def save_quant(qp: QuantParams, path: str) -> None:
         "w8": {k: {"q": np.asarray(q), "s": np.asarray(s)}
                for k, (q, s) in qp.w8.items()},
         "bias": {k: np.asarray(v) for k, v in qp.bias.items()},
-        "act_scale": {k: np.float32(v) for k, v in qp.act_scale.items()},
+        "act_scale": {k: np.asarray(v, np.float32)
+                      for k, v in qp.act_scale.items()},
         "meta": {"out_ch": np.int32(qp.out_ch),
                  "base_ch": np.int32(qp.base_ch),
-                 "stem_s2d": np.int32(qp.stem_s2d)},
+                 "stem_s2d": np.int32(qp.stem_s2d),
+                 "act_perchannel": np.int32(qp.act_perchannel)},
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(blob))
@@ -308,10 +413,12 @@ def load_quant(path: str) -> QuantParams:
         w8={k: (jnp.asarray(v["q"]), jnp.asarray(v["s"]))
             for k, v in blob["w8"].items()},
         bias={k: jnp.asarray(v) for k, v in blob["bias"].items()},
-        act_scale={k: float(v) for k, v in blob["act_scale"].items()},
+        act_scale={k: (float(v) if np.ndim(v) == 0 else jnp.asarray(v))
+                   for k, v in blob["act_scale"].items()},
         out_ch=int(blob["meta"]["out_ch"]),
         base_ch=int(blob["meta"]["base_ch"]),
         stem_s2d=int(blob["meta"].get("stem_s2d", 1)),
+        act_perchannel=bool(int(blob["meta"].get("act_perchannel", 0))),
     )
 
 

@@ -191,6 +191,7 @@ def ddim_grid_sample(
     param: Parameterization = Parameterization.V,
     eta: float = 0.0,
     clip: Tuple[float, float] = (0.0, 1.0),
+    return_traj: bool = False,
 ) -> jnp.ndarray:
     """Descending sweep over an ascending unique grid; at the lowest grid
     point x_t ← x0̂. Covers:
@@ -253,6 +254,7 @@ def ddim_grid_sample(
     param = Parameterization(param)
 
     def step(x_t, x):
+        x_in = x_t
         t, sab, s1mab, sab_p, dirt, sig, last, k = x
         pred = denoise_fn(x_t, jnp.full((B,), t, jnp.int32))
         x0_pred, eps_pred = pred_to_x0_eps(
@@ -266,10 +268,16 @@ def ddim_grid_sample(
             z = jax.random.normal(k, x_t.shape, jnp.float32)
         x_next = sab_p * x0_pred + dirt * eps_pred + sig * z
         x_t = last * x0_pred + (1.0 - last) * x_next
-        return x_t, None
+        return x_t, x_in if return_traj else None
 
-    x_t, _ = jax.lax.scan(step, x_init, xs)
-    return jnp.clip(x_t, clip[0], clip[1])
+    x_t, traj = jax.lax.scan(step, x_init, xs)
+    x_t = jnp.clip(x_t, clip[0], clip[1])
+    if return_traj:
+        # per-step denoiser INPUT states (step-major, descending t) + the
+        # integer t each state was evaluated at — calibration surface for
+        # quantization (models/quant.make_cfg_rollout_calib)
+        return x_t, (jnp.asarray(t_cur, jnp.int32), traj)
+    return x_t
 
 
 def scaled_noise_init(

@@ -147,6 +147,7 @@ def test_distill_step_nan_batch_skipped(rng):
     assert same
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_progressive_distill_end_to_end(rng):
     schedule = Schedule.cosine(100)
     cfg = DistillConfig(T=100, t_start=50, teacher_steps=4, final_steps=1,
@@ -196,6 +197,7 @@ def test_endpoint_distill_step_learns_target(rng):
     assert int(state.skipped) == 0
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_distill_from_v_teacher(rng):
     """A v-parameterized teacher (the reference's flagship family) distills
     into an ε-student: phase 0 consumes the teacher through the v→(x0,ε)
@@ -236,6 +238,7 @@ def test_distill_step_sharded_over_mesh(rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_distill_cli_smoke(tmp_path, rng):
     """End-to-end CLI: make synthetic patches, train 1 epoch, distill 2→1,
     then evaluate the student with the standard eval CLI."""
@@ -365,6 +368,7 @@ def test_endpoint_puregen_v_teacher_v_student_end_to_end(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_endpoint_puregen_guidance_width_combo(rng):
     """The full r3 production recipe in one call: a NARROW v-head student
     distilled from a wider v teacher's GUIDED pure-generation endpoints
@@ -409,6 +413,7 @@ def test_endpoint_puregen_guidance_width_combo(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_endpoint_guidance_scale_changes_targets(rng):
     """guidance_scale rolls the teacher through the CFG stacked forward;
     the distilled student absorbs the guidance, so different scales must

@@ -54,7 +54,11 @@ def test_param_count_at_production_width():
     from s1s2.models import count_params
 
     model = UNetSmall(out_ch=4, base_ch=96)
-    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,), jnp.int32))
+    # eval_shape: abstract init — no 17M-param compute/alloc on the 1-CPU box
+    v = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 32, 32, 8)),
+                             jnp.zeros((1,), jnp.int32)),
+        jax.random.PRNGKey(0))
     n = count_params(v["params"])
     assert 16_000_000 < n < 18_500_000, n
 

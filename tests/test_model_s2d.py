@@ -106,6 +106,7 @@ def test_quant_path_s2d(tmp_path):
                                atol=1e-6)
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_distill_cli_student_s2d(tmp_path):
     """--student_s2d trains an s2d student end-to-end through the CLI; the
     saved checkpoint loads against the s2d template and evaluates."""

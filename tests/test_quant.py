@@ -268,3 +268,73 @@ def test_make_sampler_calib_matches_inline_recipe():
     assert len(out) == 2
     assert (out[1][0][..., 4:] == 0).all()
     assert (out[0][0][..., :4] == out[1][0][..., :4]).all()
+
+
+def test_perchannel_act_scales_improve_or_match(setup):
+    """act_perchannel folds per-input-channel scales into the weights —
+    exact algebra (r4: the int8+CFG mitigation #2, BENCH_NOTES). The
+    quantized forward must stay close to bf16 and the artifact must
+    roundtrip the flag + vector scales."""
+    import tempfile
+
+    from s1s2.models.quant import load_quant, save_quant
+
+    model, variables, x, t = setup
+    ref = model.apply(variables, x, t)
+    calib = [(x, t)]
+    qp_pt = quantize_unet(variables["params"], calib, out_ch=3, base_ch=8)
+    qp_pc = quantize_unet(variables["params"], calib, out_ch=3, base_ch=8,
+                          act_perchannel=True)
+    assert qp_pc.act_perchannel and not qp_pt.act_perchannel
+    # per-channel scales are vectors sized to each conv's input channels
+    for name, s in qp_pc.act_scale.items():
+        assert np.ndim(s) == 1, name
+    err_pt = float(jnp.abs(quant_apply(qp_pt, x, t) - ref).mean())
+    err_pc = float(jnp.abs(quant_apply(qp_pc, x, t) - ref).mean())
+    assert err_pc <= err_pt * 1.25  # finer resolution: not meaningfully worse
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "q.msgpack")
+        save_quant(qp_pc, p)
+        qp2 = load_quant(p)
+        assert qp2.act_perchannel
+        assert (quant_apply(qp2, x, t) == quant_apply(qp_pc, x, t)).all()
+
+
+def test_bf16_blocks_excluded_from_quantization(setup):
+    """bf16_blocks keeps named double-conv blocks out of w8 and the int8
+    forward falls back to the bf16 conv for them (r4 mitigation #3)."""
+    model, variables, x, t = setup
+    ref = model.apply(variables, x, t)
+    qp = quantize_unet(variables["params"], [(x, t)], out_ch=3, base_ch=8,
+                       bf16_blocks=("conv1",))
+    assert not any(k.startswith("conv1/") for k in qp.w8)
+    assert any(k.startswith("down1/") for k in qp.w8)
+    out = quant_apply(qp, x, t)
+    qp_full = quantize_unet(variables["params"], [(x, t)], out_ch=3,
+                            base_ch=8)
+    err_partial = float(jnp.abs(out - ref).mean())
+    err_full = float(jnp.abs(quant_apply(qp_full, x, t) - ref).mean())
+    assert err_partial <= err_full + 1e-6  # strictly less quantized
+
+
+def test_cfg_rollout_calib_states(setup):
+    """make_cfg_rollout_calib returns (x_t, t) pairs from the guided
+    trajectory with null-cond twins, aligned with the sampler grid."""
+    from s1s2.core import Schedule
+    from s1s2.models.quant import make_cfg_rollout_calib
+    from s1s2.sampling.grids import round_unique_grid
+
+    model, variables, x, t = setup
+    cond = x[..., 3:]
+    sch = Schedule.cosine(40)
+    grid = round_unique_grid(39, 3, 40)
+    calib = make_cfg_rollout_calib(model.apply, variables, cond, sch, grid,
+                                   2.0, param="eps", n=2, out_ch=3)
+    # one (cond, null) pair per grid transition, descending t
+    assert len(calib) == 2 * (len(grid) - 0)
+    ts = [int(c[1][0]) for c in calib[::2]]
+    assert ts == sorted(ts, reverse=True)
+    for (xc, t1), (xn, t2) in zip(calib[::2], calib[1::2]):
+        assert (t1 == t2).all()
+        assert (xn[..., 3:] == 0).all()          # null twin
+        assert (xc[..., :3] == xn[..., :3]).all()  # same trajectory state

@@ -16,6 +16,7 @@ def patch_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_train_resume_continues_step_count(patch_dir, tmp_path):
     from s1s2.cli.train import main as train_main
 
@@ -81,6 +82,7 @@ def test_eval_file_list_missing_entry_raises(patch_dir, tmp_path):
         ])
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_save_every_cadence(patch_dir, tmp_path, monkeypatch):
     """save_every gates all three per-epoch saves (model_last/model_best/
     orbax state) to the cadence — the final epoch always saves. Each save
@@ -116,6 +118,7 @@ def test_save_every_cadence(patch_dir, tmp_path, monkeypatch):
     assert os.path.exists(model_path)
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_resume_preserves_best_loss(patch_dir, tmp_path):
     """A post-resume epoch with worse loss must NOT overwrite model_best:
     best_loss survives the restart via the model_best sidecar json."""

@@ -92,6 +92,7 @@ def test_tp_train_step_matches_replicated():
     assert shard[-1] == k.shape[-1] // 4
 
 
+@pytest.mark.slow  # 30-90 s on the 1-CPU box; covered by faster siblings in the default tier
 def test_train_cli_model_shard(tmp_path):
     """train --model_shard 2 runs the full CLI loop with TP-sharded state
     (composed with whatever data axis fits the batch) and saves a loadable
