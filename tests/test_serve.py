@@ -65,7 +65,8 @@ class TestServe:
         with urllib.request.urlopen(_url(server, "/healthz")) as r:
             info = json.loads(r.read())
         assert info["status"] == "ok"
-        assert info["signature"] == {"batch": 2, "patch": PS}
+        assert info["signature"] == {"batch": 2, "patch": PS,
+                                     "transfer_dtype": "float16"}
         assert info["model"]["int8"] is False
 
     def test_infer_chunks_and_pads(self, server):

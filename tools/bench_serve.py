@@ -153,6 +153,25 @@ def main(argv=None):
     emit({"phase": "saturated", "threads": args.threads,
           "batch": args.batch, "seconds": round(dt, 2),
           "patches_per_s": round(sum(done) / dt, 2)})
+
+    # ---- phase 4: device-only rate of the served predictor ----
+    # Bypasses HTTP + host<->device transfer: the bound a co-located TPU
+    # host serves at (the tunnel's ~26 MB/s transfer dominates phases 1-3).
+    import jax.numpy as jnp
+
+    state = httpd.s1s2_state
+    dev_cond = jnp.asarray(conds[0].astype(
+        np.dtype(state.args.transfer_dtype)))
+    state.predict(dev_cond, jnp.int32(1)).block_until_ready()
+    n_iter = 50
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_iter):  # seeds vary: no cached-dispatch replay
+        out = state.predict(dev_cond, jnp.int32(2 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    emit({"phase": "device_only", "batch": args.batch,
+          "patches_per_s": round(args.batch * n_iter / dt, 2)})
     httpd.shutdown()
 
     if args.out:
