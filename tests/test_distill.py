@@ -335,6 +335,7 @@ def test_endpoint_v_student_readout_identity():
         np.testing.assert_allclose(x0_hat, tgt, rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_endpoint_puregen_v_teacher_v_student_end_to_end(rng):
     """v→v pure-generation endpoint distillation: targets from the v
     family's mean-free √(1−ᾱ)-init rollout, student trained in v space;
@@ -462,6 +463,7 @@ def test_endpoint_spectral_term(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_distill_cli_student_init(tmp_path, rng):
     """--student_init decouples the endpoint student's starting weights from
     the target-generating teacher (endpoint-only head retargeting: e.g.
@@ -507,6 +509,7 @@ def test_distill_cli_student_init(tmp_path, rng):
         cli_distill.main(bad)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_endpoint_width_distill_narrow_student(rng):
     """Width distillation: a base-2 student regresses onto a base-4
     teacher's endpoint map via student_apply_fn; the returned tree has the
@@ -542,6 +545,7 @@ def test_endpoint_width_distill_narrow_student(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_distill_cli_student_base_ch(tmp_path, rng):
     """--student_base_ch trains a narrower student end-to-end through the
     CLI; the saved checkpoint loads against the NARROW template and the
@@ -584,6 +588,7 @@ def test_distill_cli_student_base_ch(tmp_path, rng):
         cli_distill.main(bad)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_endpoint_snapshot_every(rng, tmp_path):
     """--snapshot_every: periodic debiased-EMA snapshots during the endpoint
     phase, so a killed long run still leaves a usable student. Snapshots

@@ -150,6 +150,7 @@ def test_distill_cli_student_s2d(tmp_path):
         cli_distill.main(bad)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_quantize_cli_s2d(tmp_path):
     """quantize --s2d writes an int8 artifact whose meta preserves the stem
     factor, and evaluate --int8_ckpt serves it without recalibration."""
@@ -178,6 +179,7 @@ def test_quantize_cli_s2d(tmp_path):
     assert pred.shape == (1, 16, 16, 4) and np.isfinite(pred).all()
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_infer_scene_cli_s2d(tmp_path):
     """infer_scene --s2d runs an s2d checkpoint over a tiled scene (int8
     calibration included) and writes a finite stitched prediction."""
@@ -205,6 +207,7 @@ def test_infer_scene_cli_s2d(tmp_path):
     assert pred.shape == (4, 24, 24) and np.isfinite(pred).all()
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_evaluate_cli_s2d(tmp_path):
     """evaluate --s2d drives the harness (bf16-quant path included) on an
     s2d checkpoint."""

@@ -154,6 +154,7 @@ def test_quant_cfg_denoise_matches_rule(setup):
     np.testing.assert_allclose(got, pu + g * (pc - pu), rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_evaluate_cli_int8_cfg(tmp_path):
     """--int8 together with --guidance_scale drives the CFG-quantized path."""
     from s1s2.data.synthetic import make_synthetic_patches
@@ -190,6 +191,7 @@ def test_save_load_quant_roundtrip(setup, tmp_path):
     assert qp2.act_scale == pytest.approx(qp.act_scale)
 
 
+@pytest.mark.slow  # CLI end-to-end; unit siblings cover the mechanism in the default tier
 def test_quantize_cli_then_evaluate_int8_ckpt(tmp_path):
     """Full production flow: quantize offline, evaluate serves the artifact
     (no --ckpt needed, no recalibration)."""
