@@ -54,6 +54,8 @@ WIDTHS = [
     ("24", 256, 0.34453, "1.1M"),
     ("16", 128, 0.34008, "0.48M"),
     ("12", 128, 0.34379, "0.27M"),
+    # 4x space-to-depth rung (body at 64^2): ladder-best MAE, r4
+    ("48x4", 128, 0.33002, "4.37M"),
 ]
 # Headline preference order: 2× space-to-depth stem rung first (body runs
 # at 128², ~1.7× the base-12 full-res throughput at equal-or-better MAE),
