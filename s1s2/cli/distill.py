@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "student snapshot to <model_path>.snap every N "
                          "epochs — a long run killed mid-way still leaves "
                          "a usable checkpoint")
+    # multi-process (multi-host) driving — same surface as cli/train.py;
+    # teacher rollouts and endpoint epochs shard over the mesh's 'data' axis
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="host:port of process 0 (enables jax.distributed)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--skip_progressive", action="store_true",
                     help="endpoint-only distillation from the raw teacher. "
                          "NOTE: measured weak at t_start=200 (a raw-teacher "
@@ -116,6 +122,15 @@ def main(argv=None) -> None:
                  "distillation at all (the saved 'student' would be the "
                  "unchanged teacher); pass --endpoint_epochs > 0")
 
+    if args.coordinator is not None:
+        from s1s2.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     import jax
     import jax.numpy as jnp
 
@@ -125,6 +140,16 @@ def main(argv=None) -> None:
     from s1s2.models import UNetSmall
     from s1s2.train.checkpoint import load_params, save_model
     from s1s2.train.distill import DistillConfig, progressive_distill
+
+    # data-parallel mesh whenever >1 chip (or >1 process) is visible; the
+    # single-chip device-resident fast path is kept when there is nothing
+    # to shard over (mesh=None)
+    mesh = None
+    if jax.process_count() > 1 or len(jax.devices()) > 1:
+        from s1s2.parallel import make_mesh_for_batch
+
+        mesh = make_mesh_for_batch(args.batch_size)
+    is_p0 = jax.process_index() == 0
 
     ds = NpzPatchDataset(args.patch_dir, max_files=args.max_patches)
     Cc, Ct, H, W = ds.probe_channels()
@@ -191,7 +216,7 @@ def main(argv=None) -> None:
         student = jax.tree_util.tree_map(jnp.asarray, teacher)
     else:
         result = progressive_distill(model.apply, schedule, cfg, teacher,
-                                     batches, progress=log)
+                                     batches, progress=log, mesh=mesh)
         student = result["params"]
         phases = [h["student_steps"] for h in result["phase_history"]]
 
@@ -208,11 +233,13 @@ def main(argv=None) -> None:
             if d["mask"] is None else d["mask"] for d in items])
         def snapshot(params, ep):
             # tmp + rename: a crash mid-write must not corrupt the snapshot
-            # (its whole purpose is surviving a killed run)
+            # (its whole purpose is surviving a killed run). Multi-process:
+            # params are replicated, so only rank 0 touches the filesystem.
             import os
-            save_model(params, args.model_path + ".snap.tmp")
-            os.replace(args.model_path + ".snap.tmp",
-                       args.model_path + ".snap")
+            if is_p0:
+                save_model(params, args.model_path + ".snap.tmp")
+                os.replace(args.model_path + ".snap.tmp",
+                           args.model_path + ".snap")
             log({"snapshot_epoch": ep, "path": args.model_path + ".snap"})
 
         student = endpoint_distill(
@@ -224,9 +251,11 @@ def main(argv=None) -> None:
             guidance_scale=args.guidance_scale,
             student_apply_fn=(student_model.apply if width_change else None),
             snapshot_every=args.snapshot_every,
-            snapshot_fn=snapshot if args.snapshot_every > 0 else None)
+            snapshot_fn=snapshot if args.snapshot_every > 0 else None,
+            mesh=mesh)
 
-    save_model(student, args.model_path)
+    if is_p0:
+        save_model(student, args.model_path)
     print(json.dumps({
         "saved": args.model_path,
         "final_steps": int(args.final_steps),

@@ -444,6 +444,7 @@ def endpoint_distill(
     student_apply_fn: Optional[Callable] = None,
     snapshot_every: int = 0,
     snapshot_fn: Optional[Callable[[Any, int], None]] = None,
+    mesh: Optional[Any] = None,
 ) -> Any:
     """Endpoint-distillation driver: build teacher ddim-``teacher_steps``
     endpoint targets under ``n_seeds`` stored noise draws, then fine-tune the
@@ -475,6 +476,21 @@ def endpoint_distill(
     distillation (e.g. a base-64 student against a base-96 teacher's map;
     the int8 1-step path at base 64 measures ~1.9× the base-96 headline,
     BENCH_NOTES.md "Width scaling"). Default: same as ``apply_fn``.
+
+    ``mesh`` (a ``('data', ...)`` jax Mesh) runs the driver MULTI-CHIP:
+    teacher rollouts and the endpoint epochs both shard over the mesh's
+    ``data`` axis. Single-process: rollout chunks and training batches are
+    placed with a ``P('data')`` NamedSharding and XLA partitions the fused
+    samplers/steps SPMD. Multi-process (``jax.distributed``): rollout work
+    is partitioned round-robin across processes and exchanged host-side
+    (``multihost_utils.process_allgather`` per bounded round, so peak
+    exchange memory is processes × rollout_chunk patches, never the full
+    target set), then every rank drives identical epochs over globally
+    sharded batches (``jax.make_array_from_process_local_data``) — the
+    psum'd loss replicates, so all ranks log identical values. Target
+    arrays stay HOST-resident in mesh mode (each batch uploads sharded);
+    the single-chip device-resident fast path is unchanged when ``mesh``
+    is None.
     """
     from s1s2.sampling.grids import round_unique_grid
     from s1s2.sampling.samplers import (ddim_anchored, ddim_generate,
@@ -535,6 +551,122 @@ def endpoint_distill(
         x_init = q_sample(x0_c, nz_c, sab_k, s1mab_k)
         return ddim_grid_sample(fn_c, x_init, jax.random.PRNGKey(0),
                                 schedule, grid, t_par)
+
+    pc = jax.process_count()
+    use_mesh = mesh is not None and (pc > 1
+                                     or int(mesh.shape.get("data", 1)) > 1)
+    if pc > 1 and mesh is None:
+        raise ValueError("multi-process endpoint_distill needs a mesh "
+                         "(s1s2.parallel.make_mesh_for_batch)")
+    if use_mesh and pc == 1 and n_seeds * n_ds < int(mesh.shape["data"]):
+        use_mesh = False  # fewer targets than devices: nothing to shard
+    if use_mesh:
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        data_ax = int(mesh.shape["data"])
+        pr = jax.process_index()
+        cond_np = np.asarray(cond, np.float32)
+        x0_np = np.asarray(x0, np.float32)
+        mask_np = np.asarray(mask, np.float32)
+        total = n_seeds * n_ds
+        # noise streams are keyed identically on every rank (threefry is
+        # deterministic), so only the teacher TARGETS need exchanging
+        ep_noise = np.concatenate([
+            np.asarray(jax.random.normal(
+                jax.random.PRNGKey(50_000 + seed + s), x0_np.shape),
+                np.float32)
+            for s in range(n_seeds)])
+        ep_tgt = np.empty((total,) + x0_np.shape[1:], np.float32)
+        per_round = chunk * pc
+        pad_total = math.ceil(total / per_round) * per_round
+        # wraparound padding: every round is full-shape so the allgather
+        # shapes agree; duplicate indices re-write identical values
+        padded = np.resize(np.arange(total), pad_total)
+        if pc > 1:
+            from jax.experimental import multihost_utils
+        for r0 in range(0, pad_total, per_round):
+            my = padded[r0 + pr * chunk: r0 + (pr + 1) * chunk]
+            ds_i = my % n_ds
+            c_c, x_c, n_c = cond_np[ds_i], x0_np[ds_i], ep_noise[my]
+            if pc == 1:
+                # SPMD rollout: chunk sharded over the data axis
+                n_real = c_c.shape[0]
+                padn = (-n_real) % data_ax
+                if padn:
+                    c_c, x_c, n_c = (np.concatenate([a, a[:padn]], 0)
+                                     for a in (c_c, x_c, n_c))
+                out = np.asarray(roll_teacher(
+                    jax.device_put(jnp.asarray(c_c), bshard),
+                    jax.device_put(jnp.asarray(x_c), bshard),
+                    jax.device_put(jnp.asarray(n_c), bshard)))[:n_real]
+                ep_tgt[my] = out
+            else:
+                # process-partitioned rollout + bounded host exchange
+                out = np.asarray(roll_teacher(
+                    jnp.asarray(c_c), jnp.asarray(x_c), jnp.asarray(n_c)),
+                    np.float32)
+                gathered = np.asarray(multihost_utils.process_allgather(out))
+                for q in range(pc):
+                    idx_q = padded[r0 + q * chunk: r0 + (q + 1) * chunk]
+                    ep_tgt[idx_q] = gathered[q]
+        n_ep = total
+
+        align = int(np.lcm(data_ax, pc))
+        if n_ep < align:
+            raise ValueError(
+                f"endpoint target set ({n_ep}) smaller than the mesh's "
+                f"batch alignment ({align}): use fewer devices/processes "
+                "or more patches/seeds")
+        if batch_size % align or batch_size > n_ep:
+            batch_size = max(min(batch_size, n_ep) // align * align, align)
+
+        step = jax.jit(
+            make_endpoint_distill_step(
+                student_apply_fn or apply_fn, schedule, cfg,
+                pure_noise_init=(mode == "puregen"),
+                spectral_w=spectral_w, student_param=student_param),
+            in_shardings=(repl, (bshard,) * 5, repl),
+            out_shardings=(repl, repl), donate_argnums=(0,))
+        state = create_distill_state(student_params, cfg)
+        init = jax.tree_util.tree_map(jnp.asarray, student_params)
+        rng = np.random.default_rng(seed)
+        local_bs = batch_size // pc
+        lo_r = pr * local_bs
+
+        def put(x):
+            if pc > 1:
+                return jax.make_array_from_process_local_data(
+                    bshard, np.ascontiguousarray(x[lo_r: lo_r + local_bs]))
+            return jax.device_put(jnp.asarray(x), bshard)
+
+        for ep in range(1, epochs + 1):
+            order = rng.permutation(n_ep)
+            running, nb = 0.0, 0
+            for lo in range(0, n_ep - batch_size + 1, batch_size):
+                gidx = order[lo: lo + batch_size]
+                ds_i = gidx % n_ds
+                batch = tuple(put(a) for a in (
+                    cond_np[ds_i], x0_np[ds_i], mask_np[ds_i],
+                    ep_noise[gidx], ep_tgt[gidx]))
+                state, metrics = step(state, batch, jax.random.PRNGKey(0))
+                v = float(metrics["loss"])
+                if np.isfinite(v):
+                    running += v
+                    nb += 1
+            if progress and (ep % log_every == 0 or ep == epochs):
+                progress({"endpoint_epoch": ep, "loss": running / max(1, nb),
+                          "skipped": int(state.skipped)})
+            if (snapshot_fn is not None and snapshot_every > 0
+                    and ep % snapshot_every == 0 and ep < epochs):
+                snap = jax.tree_util.tree_map(
+                    lambda a: jnp.array(a, copy=True),
+                    debiased_ema(state, init, cfg.ema_decay))
+                snapshot_fn(snap, ep)
+        return debiased_ema(state, init, cfg.ema_decay)
 
     ep_noise, ep_tgt = [], []
     for s in range(n_seeds):
@@ -613,6 +745,7 @@ def progressive_distill(
     batches: Callable[[int, int], Iterable],
     progress: Optional[Callable[[dict], None]] = None,
     jit: bool = True,
+    mesh: Optional[Any] = None,
 ) -> dict:
     """Halve the sampler budget phase by phase: teacher_steps → … → final_steps.
 
@@ -620,17 +753,39 @@ def progressive_distill(
     phase's student initializes from (and distills against) the previous
     phase's EMA weights. Returns {'params': final EMA student,
     'phase_history': [...], 'steps': final_steps}.
+
+    ``mesh`` runs every phase's step SPMD over the mesh's ``data`` axis
+    (replicated teacher/student state, batch-sharded data — XLA inserts the
+    grad psum, exactly like ``parallel.shard_train_step``). Multi-process:
+    ``batches`` must yield each rank's process-local slice of the global
+    batch (``data.loader.batch_iterator`` does this automatically once
+    ``jax.distributed`` is initialized); ``parallel.shard_batch`` assembles
+    the global array.
     """
     # host-loaded checkpoints arrive as numpy; pin the teacher on device ONCE
     # (it is passed to every jitted step — as numpy it would re-upload the
     # whole tree per step, which over a remote-device tunnel dominates)
     teacher = jax.tree_util.tree_map(jnp.asarray, teacher_params)
     t_param = cfg.teacher_param
+    use_mesh = mesh is not None and (jax.process_count() > 1
+                                     or int(mesh.shape.get("data", 1)) > 1)
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from s1s2.parallel import shard_batch
+
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
     history = []
     for phase, s_steps in enumerate(cfg.phase_steps()):
         step_fn = make_distill_step(apply_fn, schedule, cfg, s_steps,
                                     teacher_param=t_param)
-        if jit:
+        if jit and use_mesh:
+            step_fn = jax.jit(step_fn,
+                              in_shardings=(repl, repl, (bsh,) * 3, repl),
+                              out_shardings=(repl, repl),
+                              donate_argnums=(0,))
+        elif jit:
             step_fn = jax.jit(step_fn, donate_argnums=(0,))
         state = create_distill_state(teacher, cfg)
         key = jax.random.PRNGKey(1000 + phase)
@@ -638,6 +793,8 @@ def progressive_distill(
         for epoch in range(1, cfg.epochs_per_phase + 1):
             running, n = 0.0, 0
             for batch in batches(phase, epoch):
+                if use_mesh:
+                    batch = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, teacher, batch, key)
                 v = float(metrics["loss"])
                 if np.isfinite(v):

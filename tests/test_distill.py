@@ -616,3 +616,68 @@ def test_endpoint_snapshot_every(rng, tmp_path):
     # the returned student is independent of snapshotting (read-out is pure)
     assert np.isfinite(jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), student, 0.0))
+
+
+def test_endpoint_distill_mesh_driver_matches_single_device(rng):
+    """VERDICT r4 item 1: the endpoint-distill DRIVER runs multi-chip.
+    With a ('data',) mesh the teacher rollouts and endpoint epochs shard
+    over devices; the result must match the single-device driver to float
+    reduction tolerance (rollout_chunk=3 also exercises the wraparound
+    padding of partial rounds)."""
+    from s1s2.parallel import make_mesh
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(10)
+    cfg = DistillConfig(T=10, t_start=8, teacher_steps=4, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, B=8)
+    cond, x0, mask = (np.asarray(a) for a in batch)
+    kw = dict(epochs=1, batch_size=4, teacher_steps=2, n_seeds=1, seed=3,
+              rollout_chunk=3)
+    p_ref = endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
+                             cond, x0, mask, **kw)
+    mesh = make_mesh(data=4, space=1, devices=jax.devices()[:4])
+    p_mesh = endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
+                              cond, x0, mask, mesh=mesh, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_endpoint_distill_mesh_fallback_tiny_targets(rng):
+    """Fewer targets than mesh devices: the driver falls back to the
+    single-device path instead of failing on batch alignment."""
+    from s1s2.parallel import make_mesh
+    from s1s2.train.distill import endpoint_distill
+
+    schedule = Schedule.cosine(10)
+    cfg = DistillConfig(T=10, t_start=8, teacher_steps=4)
+    model, teacher, batch = _tiny_setup(rng, B=2)
+    cond, x0, mask = (np.asarray(a) for a in batch)
+    mesh = make_mesh(data=8, space=1, devices=jax.devices()[:8])
+    p = endpoint_distill(model.apply, schedule, cfg, teacher, teacher,
+                         cond, x0, mask, epochs=1, batch_size=2,
+                         teacher_steps=2, n_seeds=1, mesh=mesh)
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_progressive_distill_mesh_matches_single_device(rng):
+    """progressive_distill(mesh=...) shards each phase's step over 'data';
+    same batches → same student as the unsharded driver."""
+    from s1s2.parallel import make_mesh
+
+    schedule = Schedule.cosine(10)
+    cfg = DistillConfig(T=10, t_start=8, teacher_steps=4, epochs_per_phase=1,
+                        final_steps=2, lr=1e-3)
+    model, teacher, batch = _tiny_setup(rng, B=8)
+
+    def batches(phase, epoch):
+        yield batch
+
+    r_ref = progressive_distill(model.apply, schedule, cfg, teacher, batches)
+    mesh = make_mesh(data=4, space=1, devices=jax.devices()[:4])
+    r_mesh = progressive_distill(model.apply, schedule, cfg, teacher,
+                                 batches, mesh=mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(r_ref["params"]),
+                    jax.tree_util.tree_leaves(r_mesh["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
