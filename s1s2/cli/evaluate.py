@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "draws — cross-framework certification hook used "
                          "by tools/ref_crossval.py to replay the reference "
                          "scripts' torch RNG stream")
+    ap.add_argument("--rng_by", choices=["index", "name"], default="index",
+                    help="per-file RNG identity. index = dataset index "
+                         "(default; what every committed evidence artifact "
+                         "was produced under) — PROTOCOL-SENSITIVE: the "
+                         "same file evaluated inside the full dataset vs "
+                         "inside any subset (--file_list / copied subdir) "
+                         "draws different noise, shifting absolute MAEs "
+                         "~0.006. name = crc32 of the npz basename: "
+                         "numbers become invariant to the selection "
+                         "protocol. Prefer name for new result sets; never "
+                         "mix keyings in one comparison")
     return ap
 
 
@@ -155,6 +166,7 @@ def main(argv=None) -> None:
         cache_dir=args.cache_dir,
         mesh_data=args.mesh_data,
         noise_npz=args.noise_npz,
+        rng_by=args.rng_by,
         file_list=args.file_list,
         viz_mode=args.viz_mode,
         viz_q_low=args.viz_q_low,

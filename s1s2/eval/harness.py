@@ -165,6 +165,26 @@ class EvalConfig:
     # per-file CSVs become bit-comparable. Missing keys raise (certification
     # must never silently fall back to JAX noise).
     noise_npz: Optional[str] = None
+    # per-file RNG identity (VERDICT r4 weak #4). "index" keys noise by the
+    # file's DATASET index — the original semantics every committed evidence
+    # artifact and repro command was produced under, kept as the default so
+    # those numbers stay reproducible — but it is protocol-SENSITIVE: the
+    # same file evaluated inside the FULL dataset (its original index) vs
+    # inside any subset (--file_list or a copied subdir, both re-indexed
+    # from 0) draws different noise, shifting absolute MAEs ~0.006. "name"
+    # keys by crc32 of the npz basename instead, making per-file numbers
+    # invariant to how the files were selected (tests/test_rng_keying.py).
+    # Prefer "name" for new result sets; never mix the two in one comparison.
+    rng_by: str = "index"  # 'index' | 'name'
+
+
+def stable_file_id(name: str) -> int:
+    """Content-stable 32-bit identity of an npz basename (crc32) — the
+    'name' per-file RNG keying: invariant to dataset indices, so file
+    selection protocol (--file_list vs copied subdir) can't shift noise."""
+    import zlib
+
+    return zlib.crc32(name.encode("utf-8")) & 0xFFFFFFFF
 
 
 class EvalContext:
@@ -337,7 +357,14 @@ class EvalContext:
 
     def per_file_keys(self, indices: Sequence[int], salt: int = 0) -> jax.Array:
         base = jax.random.PRNGKey(self.cfg.seed_base + salt)
-        idx = jnp.asarray([int(i) for i in indices], jnp.uint32)
+        if self.cfg.rng_by == "name":
+            ids = [stable_file_id(self.ds.files[int(i)]) for i in indices]
+        elif self.cfg.rng_by == "index":
+            ids = [int(i) for i in indices]
+        else:
+            raise ValueError(f"rng_by must be 'index' or 'name', "
+                             f"got {self.cfg.rng_by!r}")
+        idx = jnp.asarray(ids, jnp.uint32)
         # vmapped fold_in == the per-index loop, without O(files) dispatches
         return jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
 

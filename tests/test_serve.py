@@ -143,3 +143,37 @@ class TestServe:
     def test_missing_ckpt_exits(self):
         with pytest.raises(SystemExit):
             build_server(_serve_args([]))
+
+    def test_concurrent_requests_pipeline_correctly(self, server):
+        """VERDICT r4 weak #1 fix: chunk dispatches from concurrent clients
+        interleave (the lock no longer spans collect). Results must still be
+        bit-identical to the same requests issued sequentially — the
+        per-(seed, chunk-offset) noise keying is order-independent."""
+        rng = np.random.default_rng(5)
+        conds = [rng.standard_normal((5, PS, PS, CC)).astype(np.float32)
+                 for _ in range(4)]
+        seq = []
+        for k, c in enumerate(conds):
+            with _post_npz(server, cond=c, seed=np.int32(100 + k)) as r:
+                seq.append(np.load(io.BytesIO(r.read())))
+
+        results = [None] * len(conds)
+        errs = []
+
+        def client(k):
+            try:
+                with _post_npz(server, cond=conds[k],
+                               seed=np.int32(100 + k)) as r:
+                    results[k] = np.load(io.BytesIO(r.read()))
+            except Exception as e:  # surface in the main thread
+                errs.append(e)
+
+        ths = [threading.Thread(target=client, args=(k,))
+               for k in range(len(conds))]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        assert not errs, errs
+        for k in range(len(conds)):
+            np.testing.assert_array_equal(results[k], seq[k])
