@@ -130,8 +130,10 @@ def main() -> None:
         return ddim_anchored(fn, gt, key, schedule, T_START, STEPS)
 
     cond, gt = data(128, 1)
+    # 3 iterations (~11 s each at B=128): 2 gave a noisy denominator for
+    # the headline's vs_baseline ratio (ADVICE r4); still inside the budget
     _report("patches_per_sec_per_chip_50step_ddim_256px_bf16",
-            timed(run_bf16, cond, gt, 2))
+            timed(run_bf16, cond, gt, 3))
     del cond, gt
 
     # ---- quantize once (calibration on sampler-representative tensors) ----

@@ -118,11 +118,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    ap = build_parser()
+    args = ap.parse_args(argv)
     from s1s2.eval.harness import EvalConfig, run_mode
 
     if args.t_start is None:
         args.t_start = -1 if args.mode == "limitation" else 200
+
+    # fail loud on silently-ignored int8 knobs (ADVICE r4): a typo'd block
+    # name would leave the net fully quantized while the user believes the
+    # CFG mitigation is active; rollout calibration only exists in cfg_sweep
+    if args.int8_bf16_blocks:
+        from s1s2.models.quant import _BLOCKS
+
+        bad = [b for b in args.int8_bf16_blocks if b not in _BLOCKS]
+        if bad:
+            ap.error(f"--int8_bf16_blocks: unknown block(s) {bad}; "
+                     f"valid double-conv blocks are {list(_BLOCKS)}")
+    if args.int8_calib == "rollout" and args.mode != "cfg_sweep":
+        ap.error("--int8_calib rollout is only implemented for "
+                 "--mode cfg_sweep (per-guidance-scale trajectory "
+                 "calibration); other modes calibrate via qsample and "
+                 "would silently ignore it")
 
     cfg = EvalConfig(
         patch_dir=args.patch_dir,

@@ -305,11 +305,15 @@ class EvalContext:
             [self.ds[i]["cond"] for i in range(n)]))
         grid = round_unique_grid(self.cfg.t_start, self.cfg.ddim_steps,
                                  self.cfg.T)
+        # family-exact trajectories (ADVICE r4): the ε sweep branch samples
+        # via the reference linspace scan — calibrate on that same walk;
+        # the v branch uses the round-unique grid with the sweep's η
         calib = make_cfg_rollout_calib(
             self.model.apply, self.variables, cond, self.schedule, grid,
             guidance_scale, param=self.param,
             key=jax.random.PRNGKey(self.cfg.seed_base), n=n,
-            out_ch=self.Ct)
+            out_ch=self.Ct, eta=self.cfg.eta,
+            eps_linspace=(self.cfg.t_start, self.cfg.ddim_steps))
         return quantize_unet(self.variables["params"], calib,
                              out_ch=self.Ct, base_ch=self.cfg.base_ch,
                              stem_s2d=self.cfg.stem_s2d,

@@ -284,7 +284,8 @@ def make_sampler_calib(gt, cond, alpha_bar, tvals, *, key=None, n: int = 8,
 
 def make_cfg_rollout_calib(apply_fn, variables, cond, schedule, grid,
                            guidance_scale: float, *, param, key=None,
-                           n: int = 8, eta: float = 0.0, out_ch: int = 4):
+                           n: int = 8, eta: float = 0.0, out_ch: int = 4,
+                           eps_linspace=None):
     """Guided-ROLLOUT calibration batches: the (x_t, t) states an actual
     bf16 CFG pure-generation trajectory visits, instead of teacher-forced
     ``q_sample(gt)`` states.
@@ -301,9 +302,17 @@ def make_cfg_rollout_calib(apply_fn, variables, cond, schedule, grid,
 
     Returns calib batches [(x_and_cond, t), (x_and_nullcond, t), …] for
     ``quantize_unet`` — null twins included since CFG runs both branches.
+
+    ``eps_linspace=(t_start, steps)`` makes the ε-family rollout walk the
+    REFERENCE linspace grid/update rule (`_ddim_linspace_scan` — what the
+    cfg_sweep ε branch actually samples with) instead of the round-unique
+    ``grid``; without it the ε calibration trajectory only approximates the
+    sampled one (ADVICE r4). The v family always uses ``grid`` + ``eta``
+    via ``ddim_grid_sample``, exactly the sweep's sampler.
     """
     from s1s2.core.parametrize import Parameterization
     from s1s2.sampling import ddim_grid_sample, make_cfg_denoise_fn
+    from s1s2.sampling.samplers import _ddim_linspace_scan
 
     cond = jnp.asarray(cond)[:n]
     if key is None:
@@ -320,6 +329,12 @@ def make_cfg_rollout_calib(apply_fn, variables, cond, schedule, grid,
             k, cond_b.shape[:3] + (out_ch,), jnp.float32) * scale
         fn = make_cfg_denoise_fn(apply_fn, variables, cond_b,
                                  float(guidance_scale))
+        if param is Parameterization.EPS and eps_linspace is not None:
+            t_start, steps = eps_linspace
+            _, (ts, traj) = _ddim_linspace_scan(
+                fn, noise, schedule, int(t_start), int(steps), (0.0, 1.0),
+                return_traj=True)
+            return ts, traj
         _, (ts, traj) = ddim_grid_sample(
             fn, noise, jax.random.PRNGKey(0), schedule,
             grid, param, eta=eta, return_traj=True)

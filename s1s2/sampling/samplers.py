@@ -22,7 +22,7 @@ RNG: explicit keys; per-step noise keys are pre-split and fed as scan xs.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -97,10 +97,16 @@ def _ddim_linspace_scan(
     t_start: int,
     steps: int,
     clip: Tuple[float, float],
-) -> jnp.ndarray:
+    return_traj: bool = False,
+):
     """Shared driver for the reference's ε/linspace DDIM loop
     (`Evaluation/DDIM_Multi-step.py:124-134`): iterate (t_cur → t_next) pairs,
     return the LAST x0̂ (not x_t), clamped.
+
+    ``return_traj=True`` additionally returns ``(ts, traj)`` — the integer
+    timesteps and the x_t INPUT state the denoiser saw at each step — for
+    trajectory-matched int8 calibration (models/quant.make_cfg_rollout_calib
+    ε family); traj is only materialized when requested.
     """
     ts = linspace_grid(t_start, steps, schedule.T)  # length steps+1, descending
     a_cur = _coef(schedule, ts[:-1])
@@ -115,15 +121,18 @@ def _ddim_linspace_scan(
     B = x_init.shape[0]
 
     def step(carry, x):
-        x_t, _ = carry
+        x_in, _ = carry
         t, s1mab, sab_guard, sab_n, s1mab_n = x
-        eps = denoise_fn(x_t, jnp.full((B,), t, jnp.int32))
-        x0_hat = (x_t - s1mab * eps) / sab_guard
+        eps = denoise_fn(x_in, jnp.full((B,), t, jnp.int32))
+        x0_hat = (x_in - s1mab * eps) / sab_guard
         x_t = sab_n * x0_hat + s1mab_n * eps
-        return (x_t, x0_hat), None
+        return (x_t, x0_hat), (x_in if return_traj else None)
 
-    (_, x0_hat), _ = jax.lax.scan(step, (x_init, x_init), xs)
-    return jnp.clip(x0_hat, clip[0], clip[1])
+    (_, x0_hat), traj = jax.lax.scan(step, (x_init, x_init), xs)
+    out = jnp.clip(x0_hat, clip[0], clip[1])
+    if return_traj:
+        return out, (xs[0], traj)
+    return out
 
 
 def ddim_anchored(
@@ -192,9 +201,11 @@ def ddim_grid_sample(
     eta: float = 0.0,
     clip: Tuple[float, float] = (0.0, 1.0),
     return_traj: bool = False,
-) -> jnp.ndarray:
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Descending sweep over an ascending unique grid; at the lowest grid
-    point x_t ← x0̂. Covers:
+    point x_t ← x0̂ — returns that final array, or with ``return_traj=True``
+    the pair ``(x0, (t_cur, traj))`` of per-step timesteps and visited
+    states (int8 rollout calibration). Covers:
 
     * v-model pure-noise DDIM with η (`Evaluation/DDIM_Multi-step_v_Prediction.py:137-178`)
     * full-range ε DDIM (`Evaluation/Limitation_Test.py:227-249`)

@@ -340,3 +340,26 @@ def test_cfg_rollout_calib_states(setup):
         assert (t1 == t2).all()
         assert (xn[..., 3:] == 0).all()          # null twin
         assert (xc[..., :3] == xn[..., :3]).all()  # same trajectory state
+
+
+def test_cfg_rollout_calib_eps_linspace_grid(setup):
+    """eps_linspace=(t_start, steps): the ε-family calibration walks the
+    REFERENCE linspace grid/update (`_ddim_linspace_scan`) — the exact
+    trajectory the cfg_sweep ε branch samples with (ADVICE r4) — so the
+    calib timesteps equal linspace_grid(t_start, steps)[:-1]."""
+    from s1s2.core import Schedule
+    from s1s2.models.quant import make_cfg_rollout_calib
+    from s1s2.sampling.grids import linspace_grid, round_unique_grid
+
+    model, variables, x, t = setup
+    cond = x[..., 3:]
+    sch = Schedule.cosine(40)
+    grid = round_unique_grid(39, 3, 40)
+    calib = make_cfg_rollout_calib(model.apply, variables, cond, sch, grid,
+                                   2.0, param="eps", n=2, out_ch=3,
+                                   eps_linspace=(39, 4))
+    ts = [int(c[1][0]) for c in calib[::2]]
+    assert ts == list(linspace_grid(39, 4, 40)[:-1])
+    for (xc, t1), (xn, t2) in zip(calib[::2], calib[1::2]):
+        assert (t1 == t2).all()
+        assert (xn[..., 3:] == 0).all()

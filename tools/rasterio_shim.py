@@ -54,9 +54,18 @@ class _Dataset:
         return False
 
 
-def install():
+def install(force: bool = False):
     if "rasterio" in sys.modules:  # idempotent; never shadow the real one
         return sys.modules["rasterio"]
+    if not force:
+        # a REAL rasterio installation (installed but not yet imported)
+        # must also win: shimming it would read .img files as npy (ADVICE r4)
+        import importlib.util
+
+        if importlib.util.find_spec("rasterio") is not None:
+            raise RuntimeError(
+                "a real rasterio installation exists; refusing to shadow "
+                "it with the npy shim (pass force=True to override)")
     mod = types.ModuleType("rasterio")
     mod.open = _Dataset
     mod.__shim__ = True
