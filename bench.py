@@ -34,6 +34,11 @@ line per committed intermediate width rung (base 64/48/32/24/16/12)
 before the headline — the full ladder takes ~15 min and exists for
 BENCH_NOTES tables, not for the driver budget.
 
+Set S1S2_BENCH_CFG=1 to add the guided-generation line: quality-equal
+int8+CFG at g=3 on the committed cfg_v teacher, self-verified through the
+cfg_sweep harness against the r4 rich-set protocol (~6 min; sample JSON in
+BENCH_NOTES "int8+CFG degradation FIXED").
+
 Width-ladder quality provenance (BENCH_NOTES.md "Width distillation"):
 every rung is scored on the evidence set AND a held-out synthetic set the
 students never saw (distill_width_holdout.jsonl); quality_checked in the
@@ -79,6 +84,114 @@ def _report(metric: str, pps: float, **extra) -> None:
 
 def _skip(spec: str, reason: str) -> None:
     print(json.dumps({"skipped": f"w{spec}", "reason": reason}), flush=True)
+
+
+def _cfg_line(ckpt_dir: str, UNetSmall, Schedule, load_params) -> None:
+    """Opt-in (S1S2_BENCH_CFG=1) guided-generation line: quality-equal
+    int8+CFG at g=3 on the committed cfg_v teacher.
+
+    Self-verifying against the r4 rich-set protocol (BENCH_NOTES "int8+CFG
+    degradation FIXED"): regenerates the 129-file --rich synthetic set
+    (seed 0), scores files 96-127 via --file_list through the cfg_sweep
+    harness in bf16 AND in the quality-equal int8 setting (--int8_calib
+    rollout --int8_perchannel --int8_bf16_blocks conv1), asserts the int8
+    MAE is within noise of bf16 (committed anchors 0.29791 / 0.29821),
+    then times the 5-step stacked-CFG sampler B=32 both ways. Adds ~6 min;
+    env-gated so the default driver profile stays 3 lines."""
+    import csv
+    import tempfile
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = os.path.join(ckpt_dir, "cfg_v_teacher.bf16.msgpack")
+    if not os.path.exists(ckpt):
+        print(json.dumps({"skipped": "cfg", "reason": f"checkpoint absent: "
+                          f"{ckpt}"}), flush=True)
+        return
+
+    from s1s2.cli.evaluate import main as eval_main
+
+    maes = {}
+    with tempfile.TemporaryDirectory() as td:
+        from s1s2.data.synthetic import make_synthetic_patches
+
+        patches = os.path.join(td, "rich")
+        make_synthetic_patches(patches, n=129, size=256, seed=0, rich=True)
+        lst = os.path.join(td, "eval.txt")
+        with open(lst, "w") as f:
+            f.write("".join(f"patch_{i:06d}.npz\n" for i in range(96, 128)))
+        for tag, extra in (
+                ("bf16", []),
+                ("int8", ["--int8", "--int8_calib", "rollout",
+                          "--int8_perchannel",
+                          "--int8_bf16_blocks", "conv1"])):
+            out = os.path.join(td, "out_" + tag)
+            eval_main([
+                "--mode", "cfg_sweep", "--patch_dir", patches,
+                "--file_list", lst, "--ckpt", ckpt, "--pred_param", "v",
+                "--t_start", "999", "--ddim_steps", "5", "--out_dir", out,
+                "--guidance_scales", "3", "--save_viz_n", "0"] + extra)
+            with open(os.path.join(out, "cfg_sweep_summary.csv")) as f:
+                maes[tag] = float(next(iter(csv.DictReader(f)))["MAE_mean"])
+
+    # ---- throughput: 5-step stacked-CFG sampler, B=32, bf16 vs int8 ----
+    from s1s2.core.parametrize import Parameterization
+    from s1s2.models.quant import (make_cfg_rollout_calib,
+                                   make_quant_cfg_denoise_fn, quantize_unet)
+    from s1s2.sampling.grids import round_unique_grid
+    from s1s2.sampling.samplers import ddim_grid_sample, make_cfg_denoise_fn
+
+    H, W, CC, CT, B, G = 256, 256, 4, 4, 32, 3.0
+    model = UNetSmall(out_ch=CT, base_ch=96, compute_dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, CC + CT), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
+    variables = {"params": load_params(ckpt,
+                                       template=variables["params"])}
+    schedule = Schedule.cosine(1000)
+    grid = round_unique_grid(999, 5, 1000)
+    vscale = float(np.sqrt(1.0 - schedule.alpha_bar_np()[int(grid[-1])]))
+    cond = jax.random.normal(jax.random.PRNGKey(11), (B, H, W, CC))
+    calib = make_cfg_rollout_calib(model.apply, variables, cond, schedule,
+                                   grid, G, param="v", out_ch=CT)
+    qp = quantize_unet(variables["params"], calib, out_ch=CT, base_ch=96,
+                       act_perchannel=True, bf16_blocks=("conv1",))
+
+    def timed(fn_of_cond, iters=8):
+        @jax.jit
+        def run(cond_b, key):
+            noise = jax.random.normal(key, (B, H, W, CT)) * vscale
+            return ddim_grid_sample(fn_of_cond(cond_b), noise,
+                                    jax.random.PRNGKey(0), schedule, grid,
+                                    Parameterization.V)
+
+        run(cond, jax.random.PRNGKey(1)).block_until_ready()
+        t0 = _time.perf_counter()
+        out = None
+        for i in range(iters):  # keys vary: no cached-dispatch replay
+            out = run(cond, jax.random.PRNGKey(2 + i))
+        out.block_until_ready()
+        return B * iters / (_time.perf_counter() - t0)
+
+    pps_bf16 = timed(lambda c: make_cfg_denoise_fn(model.apply, variables,
+                                                   c, G))
+    pps_int8 = timed(lambda c: make_quant_cfg_denoise_fn(qp, c, G))
+    _report(
+        "patches_per_sec_per_chip_cfg_g3_5step_int8_quality_equal_256px",
+        pps_int8,
+        config="cfg_v teacher, guidance 3.0, 5-step stacked CFG, int8 "
+               "rollout-calib + per-channel + bf16 conv1, B=32",
+        bf16_patches_per_s=round(pps_bf16, 2),
+        int8_speedup_vs_bf16=round(pps_int8 / pps_bf16, 3),
+        verified_mae_bf16=round(maes["bf16"], 5),
+        verified_mae_int8=round(maes["int8"], 5),
+        quality_checked=bool(maes["int8"] <= maes["bf16"] + 0.002),
+        protocol="129-file rich set (seed 0), --file_list files 96-127, "
+                 "cfg_sweep g=3 — BENCH_NOTES 'int8+CFG degradation FIXED' "
+                 "(committed anchors bf16 0.29821 / int8 0.29791)")
 
 
 def main() -> None:
@@ -224,6 +337,16 @@ def main() -> None:
                     f"{spec}.bf16.msgpack, scored in-process vs teacher "
                     f"ddim-20 anchor {TEACHER_ANCHOR}")
         return True
+
+    # ---- optional: guided-generation quality-equal int8+CFG (env-gated) ----
+    # VERDICT r4 item 5: surface the measured 1.47x quality-equal CFG
+    # setting (rollout calib + per-channel + bf16 conv1, BENCH_NOTES
+    # "int8+CFG degradation FIXED") as a bench line. Self-checking: rebuilds
+    # the r4 rich-set protocol (129-file --rich set, --file_list files
+    # 96-127) in-process and scores BOTH bf16 and quality-equal int8 at g=3
+    # through the cfg_sweep harness before timing the stacked sampler.
+    if os.environ.get("S1S2_BENCH_CFG"):
+        _cfg_line(CKPT_DIR, UNetSmall, Schedule, load_params)
 
     # ---- optional: full intermediate width ladder (env-gated) ----
     if os.environ.get("S1S2_BENCH_WIDTHS"):
