@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1536)
     ap.add_argument("--patch", type=int, default=256)
@@ -51,7 +51,7 @@ def main():
                     help="all = the full 6-row transfer-engineering table; "
                          "fast = only the two best rows (f16 both + "
                          "pipeline-3, device-stitch)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import numpy as np
     import jax
