@@ -16,6 +16,13 @@ teacher underperforms badly at t_start=200; it is the right mode only for
     python -m s1s2 distill --patch_dir P --teacher out/model.msgpack \
         --model_path out/distilled.msgpack --t_start 200 \
         --teacher_steps 16 --final_steps 1 --epochs_per_phase 4
+
+Multi-chip: with >1 visible device a data mesh is built automatically
+(teacher rollouts and all distill epochs shard over it); multi-host runs
+add the jax.distributed flags, one process per host, rank 0 writes:
+
+    python -m s1s2 distill ... --coordinator host0:1234 \
+        --num_processes 2 --process_id $RANK
 """
 
 import argparse
