@@ -131,6 +131,7 @@ def test_per_file_keys_vmap_matches_loop():
     from s1s2.eval.harness import EvalContext
 
     keys = EvalContext.per_file_keys.__get__(
-        type("C", (), {"cfg": type("G", (), {"seed_base": 42})()})()
+        type("C", (), {"cfg": type("G", (), {"seed_base": 42,
+                                             "rng_by": "index"})()})()
     )(idx, salt=7)
     assert (loop == keys).all()
