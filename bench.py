@@ -22,12 +22,13 @@ collapsed to the slowest row):
      GT-anchored ddim-1 through the int8 path in-process, asserts the
      committed evidence MAE vs the teacher ddim-20 anchor (0.44074), then
      times throughput with the same quantized weights. Preferred rung is
-     16x2 (base-16 channels, 2× space-to-depth stem, 0.48M params —
-     evidence int8 MAE 0.33557, held-out 0.33432:
-     examples/results_synthetic/distill_width16x2_metrics.jsonl,
-     distill_width_holdout.jsonl); falls back to base-12 full-res if the
-     16x2 checkpoint is absent, emitting a {"skipped": ...} JSON line so a
-     missing rung is never silent.
+     24x4 (base-24 channels, 4× space-to-depth stem — body at 64² —
+     1.11M params, landed r5: evidence int8 MAE 0.32764, held-out
+     0.32700, the LADDER-BEST quality at the ladder-best throughput:
+     examples/results_synthetic/distill_width24x4_metrics.jsonl,
+     distill_width_holdout.jsonl); falls back to 16x2 (r4 headline) then
+     base-12 full-res if checkpoints are absent, emitting a
+     {"skipped": ...} JSON line so a missing rung is never silent.
 
 Set S1S2_BENCH_WIDTHS=1 (or run tools/bench_width_ladder.py) to add one
 line per committed intermediate width rung (base 64/48/32/24/16/12)
@@ -59,13 +60,18 @@ WIDTHS = [
     ("24", 256, 0.34453, "1.1M"),
     ("16", 128, 0.34008, "0.48M"),
     ("12", 128, 0.34379, "0.27M"),
-    # 4x space-to-depth rung (body at 64^2): ladder-best MAE, r4
+    # 4x space-to-depth rungs (body at 64^2)
     ("48x4", 128, 0.33002, "4.37M"),
+    # r4 headline (2x stem, body at 128^2) — now a ladder rung
+    ("16x2", 128, 0.33557, "0.48M"),
 ]
-# Headline preference order: 2× space-to-depth stem rung first (body runs
-# at 128², ~1.7× the base-12 full-res throughput at equal-or-better MAE),
-# then the narrowest proven full-res rung.
+# Headline preference order: the 24x4 rung (base-24, 4× space-to-depth
+# stem, body at 64² — landed r5) DOMINATES the rest of the ladder on both
+# axes: ladder-best int8 MAE (0.32764 evidence / 0.32700 held-out) AND
+# ~14% above 16x2's throughput (probe 18,950/s @B=128). Fallbacks keep
+# the r4/r3 headline rungs for snapshots missing the new checkpoint.
 HEADLINE_PREF = [
+    ("24x4", 128, 0.32764, "1.11M"),
     ("16x2", 128, 0.33557, "0.48M"),
     ("12", 128, 0.34379, "0.27M"),
 ]
@@ -243,10 +249,18 @@ def main() -> None:
         return ddim_anchored(fn, gt, key, schedule, T_START, STEPS)
 
     cond, gt = data(128, 1)
-    # 3 iterations (~11 s each at B=128): 2 gave a noisy denominator for
-    # the headline's vs_baseline ratio (ADVICE r4); still inside the budget
+    # 2 timed iterations (~11 s each at B=128) + the per-iteration spread
+    # in the JSON line (the ADVICE r4 alternative to more iterations —
+    # a 3rd iteration costs 11 s of the driver's wall budget)
+    run_bf16(cond, gt, jax.random.PRNGKey(9)).block_until_ready()
+    its = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        run_bf16(cond, gt, jax.random.PRNGKey(10 + i)).block_until_ready()
+        its.append(cond.shape[0] / (time.perf_counter() - t0))
     _report("patches_per_sec_per_chip_50step_ddim_256px_bf16",
-            timed(run_bf16, cond, gt, 3))
+            sum(its) / len(its),
+            per_iteration=[round(v, 3) for v in its])
     del cond, gt
 
     # ---- quantize once (calibration on sampler-representative tensors) ----
@@ -281,7 +295,9 @@ def main() -> None:
     from s1s2.eval.metrics import masked_mae
 
     with tempfile.TemporaryDirectory() as td:
-        make_synthetic_patches(td, n=32, size=256, seed=0)
+        # compress=False: byte-identical VALUES (deterministic from seed),
+        # ~3x faster writes on the 1-core host — wall budget, not quality
+        make_synthetic_patches(td, n=32, size=256, seed=0, compress=False)
         ds = NpzPatchDataset(td)
         items = [ds[i] for i in range(len(ds))]
     ev_cond = jnp.asarray(np.stack([it["cond"] for it in items]))

@@ -47,6 +47,7 @@ def make_synthetic_patches(
     mask_holes: bool = True,
     with_cloud: bool = False,
     rich: bool = False,
+    compress: bool = True,
 ) -> list:
     """Write ``n`` synthetic patch npz files; target bands are deterministic
     functions of the cond bands (so models CAN learn the mapping).
@@ -106,7 +107,9 @@ def make_synthetic_patches(
                      ).astype(np.float32)
             extra["cloud_mask"] = cloud
         path = os.path.join(out_dir, f"patch_{i:06d}.npz")
-        np.savez_compressed(
+        # compress=False: identical VALUES, ~3x faster writes on the 1-core
+        # host -- bench.py's in-process evidence regeneration uses it
+        (np.savez_compressed if compress else np.savez)(
             path,
             inputs=cond,
             target=tgt,
